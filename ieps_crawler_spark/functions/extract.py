@@ -1,0 +1,215 @@
+"""HTML extraction — links / onclick pseudo-links / images / binary-doc
+links / text, transcribing the reference's ``utils/ExtractFromHTML.scala``
+(ghajduk3/ieps-crawler) into a single-pass stdlib HTML parse exposed as an
+Arrow-batched pandas UDF returning an array of (url, kind, pos) structs
+that the wave plan ``explode``s.
+
+Reference semantics reproduced:
+- ``a[href]`` in document order first, then every element's ``onclick``
+  attribute in document order (ExtractFromHTML.scala:49-84; Jsoup
+  ``select("*")`` is document order).
+- ``extractLink`` (:94-101): try canonicalize; on failure canonicalize
+  ``site_domain + url``. Root-relative hrefs ("/foo") have an empty host →
+  canonicalization fails → fallback yields ``http://<domain>/foo/``
+  (verified against java.net.URL/URI behavior; this is the only reading
+  consistent with the reference having crawled 38k pages, since most
+  real-world internal links are root-relative).
+- ``getPageLinks`` (:86-88): drop link-extensions (note the reference's
+  list contains ``"jpeg"`` WITHOUT a dot — quirk preserved), then
+  ``.distinct`` (first occurrence wins), keep only URLs containing
+  ``gov.si``, drop URLs containing ``///``.
+- ``getPageData`` (:90-92): keep ``.pdf/.doc/.docx/.ppt/.pptx``.
+- ``getImages`` (:25-47): ``img[src]`` via ``imgLink`` (:103-118 — the
+  catch-branch is dead code since getCanonical never throws, so imgLink
+  ≡ getCanonical(src)); srcs that fail canonicalization (root-relative)
+  produce null-url rows in the reference — documented divergence: we
+  resolve them against the site domain like extractLink does, and drop
+  only truly unparseable srcs (no null-url row bloat).
+- ``conType`` (:120): extension tag via ``url.slice(lastIndexOf('.')+1,
+  url.last)`` where ``url.last`` is a Char used as an Int bound — quirk
+  preserved (truncates the extension of URLs longer than the code point
+  of their final character).
+
+Text extraction: the reference renders pages with HtmlUnit and stores raw
+HTML; our byte-identical-text-per-url invariant (input_hint) is defined
+as: concatenation of text nodes excluding <script>/<style>, entity-decoded,
+whitespace runs collapsed to single spaces, stripped. The corpus generator
+and this extractor implement that spec independently.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .canon import get_canonical
+
+# ExtractFromHTML.scala:19 — note "jpeg" has no dot (reference quirk)
+NON_LINK_EXTENSIONS = [".pdf", ".doc", ".docx", ".ppt", ".pptx", ".zip",
+                       ".jpg", "jpeg", ".png"]
+# ExtractFromHTML.scala:20
+PAGE_DATA_EXTENSIONS = [".pdf", ".doc", ".docx", ".ppt", ".pptx"]
+
+_VOID_SKIP = {"script", "style"}
+
+
+class _Harvest(HTMLParser):
+    """Single-pass collector: hrefs, onclicks, img srcs (document order)
+    and text nodes (excluding script/style)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.onclicks: list[str] = []
+        self.imgs: list[str] = []
+        self.text_parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_SKIP:
+            self._skip_depth += 1
+        d = dict(attrs)
+        if tag == "a" and d.get("href") is not None:
+            self.hrefs.append(d["href"])
+        if d.get("onclick"):
+            self.onclicks.append(d["onclick"])
+        if tag == "img" and d.get("src") is not None:
+            self.imgs.append(d["src"])
+
+    def handle_startendtag(self, tag, attrs):
+        if tag not in _VOID_SKIP:
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.text_parts.append(data)
+
+
+_WS = re.compile(r"\s+")
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """The byte-identical text invariant (see module docstring)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _Harvest()
+    p.feed(html)
+    p.close()
+    return _WS.sub(" ", "".join(p.text_parts)).strip()
+
+
+def _extract_link(url: str, site_domain: str) -> str | None:
+    """ExtractFromHTML.extractLink (:94-101)."""
+    c = get_canonical(url)
+    if c is not None:
+        return c
+    return get_canonical(site_domain + url)
+
+
+def extract_all(html: bytes | str | None, site_domain: str):
+    """Returns ordered list of dicts {url, kind, pos}: kind PAGE (frontier
+    link), DATA (binary doc), IMG (image). PAGE/DATA derive from the same
+    getAllLinks stream with the reference's filters; IMG from img[src].
+    pos is the enqueue position (per-page FIFO order carried into the
+    frontier's enq_seq)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _Harvest()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+
+    # getAllLinks order: a[href] stream then onclick stream (:49-84)
+    all_links: list[str] = []
+    for raw in p.hrefs + p.onclicks:
+        try:
+            link = _extract_link(raw, site_domain)
+        except Exception:
+            link = None
+        if link is not None:
+            all_links.append(link)
+
+    out = []
+    pos = 0
+    # getPageLinks (:86-88): ext filter → distinct(first-wins) → gov.si → ///
+    seen_page: set[str] = set()
+    for u in all_links:
+        if any(u.endswith(e) for e in NON_LINK_EXTENSIONS):
+            continue
+        if u in seen_page:
+            continue
+        seen_page.add(u)
+        if "gov.si" not in u:
+            continue
+        if "///" in u:
+            continue
+        out.append({"url": u, "kind": "PAGE", "pos": pos})
+        pos += 1
+    # getPageData (:90-92): no distinct in the reference — duplicates kept
+    for u in all_links:
+        if any(u.endswith(e) for e in PAGE_DATA_EXTENSIONS):
+            out.append({"url": u, "kind": "DATA", "pos": pos})
+            pos += 1
+    # getImages (:25-47): imgLink ≡ getCanonical(src); None urls dropped
+    for raw in p.imgs:
+        u = get_canonical(raw)
+        if u is None:
+            u = get_canonical(site_domain + raw)  # salvage root-relative srcs
+        if u is not None:
+            out.append({"url": u, "kind": "IMG", "pos": pos})
+            pos += 1
+    return out
+
+
+def con_type(url: str | None) -> str | None:
+    """ExtractFromHTML.conType (:120) incl. the url.last-as-int-bound quirk."""
+    if url is None:
+        return None
+    if not url:
+        return ""
+    return url[url.rfind(".") + 1 : ord(url[-1])].upper()
+
+
+LINKS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("kind", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+
+def _extract_series(html: pd.Series, domain: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_all(h, d if d is not None else "") for h, d in zip(html, domain)]
+    )
+
+
+def _text_series(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+extract_links_udf = pandas_udf(_extract_series, LINKS_SCHEMA)
+extract_text_udf = pandas_udf(_text_series, StringType())
