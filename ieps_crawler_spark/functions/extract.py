@@ -213,3 +213,28 @@ def _text_series(html: pd.Series) -> pd.Series:
 
 extract_links_udf = pandas_udf(_extract_series, LINKS_SCHEMA)
 extract_text_udf = pandas_udf(_text_series, StringType())
+
+# Combined single-pass page extraction: the crawl wave needs BOTH the text
+# and the outlinks of each HTML page — one UDF means the HTML is decoded
+# and parsed once per row instead of twice.
+PAGE_SCHEMA = StructType(
+    [StructField("text", StringType()), StructField("links", LINKS_SCHEMA)]
+)
+
+
+def _page_series(html: pd.Series, domain: pd.Series) -> pd.DataFrame:
+    texts, links = [], []
+    for h, d in zip(html, domain):
+        texts.append(extract_text(h))
+        links.append(extract_all(h, d if d is not None else ""))
+    return pd.DataFrame({"text": texts, "links": links})
+
+
+extract_page_udf = pandas_udf(_page_series, PAGE_SCHEMA)
+
+
+def _con_type_series(url: pd.Series) -> pd.Series:
+    return url.map(con_type)
+
+
+con_type_udf = pandas_udf(_con_type_series, StringType())

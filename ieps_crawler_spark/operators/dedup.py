@@ -1,0 +1,304 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+The reference's dedup is exact (UNIQUE(page.url) + SHA-256 content hash,
+crawldb.sql:33,40; CrawlerDIO.scala:73-134). At 100 TB corpus scale a
+pipeline additionally needs near-dup detection; this module provides the
+standard ladder, all DataFrame-first:
+
+- exact_dedup            — hash-groupBy (JVM sha2/md5, map-side combine)
+- mark_content_duplicates— window first-wins (the reference's DUPLICATE
+                           marking re-expressed, SURVEY O13)
+- minhash_lsh_dedup      — shingle → minhash → band-bucket join (only
+                           same-bucket pairs are candidates: the classic
+                           LSH trick that replaces the O(n²) self-join
+                           with a shuffle on band keys)
+- simhash_dedup          — 64-bit simhash + hamming-ball grouping via
+                           4-segment pigeonhole blocking
+- ngram_jaccard_pairs    — exact Jaccard verification for candidate pairs
+- embedding_neardup      — cosine-threshold near-dup over array<float>
+
+Skew/scale notes: shingling+minhash run in one Arrow batch pass (numpy);
+band join keys are (band_id, band_hash) — uniformly distributed by
+construction, so no salting needed; verification joins only touch
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: keeper id (min), dup count."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def mark_content_duplicates(
+    df: DataFrame, hash_col: str = "content_hash", order_col: str = "fetch_order"
+) -> DataFrame:
+    """First-wins duplicate marking (reference CrawlerDIO.scala:73-86)."""
+    w = Window.partitionBy(hash_col).orderBy(order_col)
+    return df.withColumn(
+        "is_duplicate", F.row_number().over(w) > 1
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        shingles = {t}
+    else:
+        shingles = {t[i : i + k] for i in range(len(t) - k + 1)}
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def minhash_udf(n_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    a, b = _minhash_params(n_perm, seed)
+
+    def _mh(texts: pd.Series) -> pd.Series:
+        res = []
+        for t in texts:
+            h = _shingle_hashes(t, shingle_k)
+            if len(h) == 0:
+                res.append([0] * n_perm)
+                continue
+            # (a*h + b) mod p, min per permutation — vectorized outer op
+            vals = (np.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
+            res.append([int(x) for x in vals.min(axis=1).astype(np.int64)])
+        return pd.Series(res)
+
+    return pandas_udf(_mh, ArrayType(LongType()))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Returns candidate near-dup pairs (id_a < id_b) with estimated
+    Jaccard ≥ threshold. rows = band-bucket join candidates verified by
+    minhash agreement fraction."""
+    rows_per_band = n_perm // bands
+    mh = df.select(
+        F.col(id_col).alias("id"), minhash_udf(n_perm, shingle_k)(text_col).alias("sig")
+    )
+    mh.cache()
+    # band key = hash of the band's signature slice
+    banded = mh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1D, 0D)), 0D, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(n_perm)),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_udf(shingle_k: int = 4):
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t, shingle_k)
+            if len(h) == 0:
+                out.append(0)
+                continue
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            v = bits.sum(axis=0) * 2 - len(h)  # +1/-1 vote per bit
+            sim = 0
+            for i in range(64):
+                if v[i] > 0:
+                    sim |= 1 << i
+            out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+        return pd.Series(out, dtype="int64")
+
+    return pandas_udf(_sh, LongType())
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
+    blocking: split 64 bits into 4 segments — any pair within hamming 3
+    agrees exactly on ≥1 segment, so candidates = same-segment-value
+    join (no O(n²))."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(text_col).alias("sim"))
+    seg = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftrightunsigned("sim", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "sim", "s.seg", "s.val")
+    l, r = seg.alias("l"), seg.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs —
+    the verification stage after LSH candidate generation."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("words"),
+    )
+    # n-grams via slice over the word array (JVM-side)
+    grams = grams.withColumn(
+        "grams",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+                f"i -> array_join(slice(words, i, {n}), ' '))"
+            )
+        ),
+    ).select("id", "grams")
+    a = grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a")
+    b = grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter / F.when(union > 0, union)).alias("jaccard"),
+    )
+
+
+# -------------------------------------------------------- embedding cosine
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_dims: int = 0,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs. Default is the exact all-pairs
+    form (self-join) — suitable for verification subsets; at corpus scale
+    route candidates through LSH/IVF first (see operators/similarity.py)."""
+    dot = F.expr(f"aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, v) -> a + double(v))")
+    norm = lambda c: F.sqrt(
+        F.expr(f"aggregate(transform({c}, x -> double(x) * double(x)), 0D, (a, v) -> a + v)")
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = (dot / (norm("va") * norm("vb"))).alias("cosine")
+    return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The reference stores images and binary docs as ``bytea`` rows
+(crawldb.sql:47-70); at training-pipeline scale the same shape becomes a
+binary column + metadata struct. The Spark-side plumbing here — schema,
+batch iteration, partition sizing — is real and tested; the actual codec
+work (JPEG decode, resampling, frame extraction) is STUBBED behind
+``decoder=`` hooks because no image/audio libraries exist in this
+container: the default deterministic fake decoder derives metadata from
+the bytes (so tests are stable), and a clearly-marked
+``NotImplementedError`` decoder shows where a real libjpeg/ffmpeg hook
+plugs in.
+
+Scale notes: binary payloads never pass through Python row-at-a-time —
+each mapInPandas batch moves via Arrow; ``repartition`` before decode
+spreads large blobs; metadata-only projections never touch the bytes
+(column pruning keeps the binary out of the scan when not selected).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "url string, kind string, n_bytes long, content_hash string, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+
+def fake_decoder(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a real codec: derives plausible typed
+    metadata purely from the bytes. Replace with a real decode at deploy."""
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None, "sample_rate": None}
+    d = hashlib.sha256(payload).digest()
+    if kind == "image":
+        return {
+            "width": 64 + d[0] % 64 * 16,
+            "height": 64 + d[1] % 64 * 16,
+            "n_frames": 1,
+            "sample_rate": None,
+        }
+    if kind == "video":
+        return {
+            "width": 320 + d[0] % 8 * 160,
+            "height": 240 + d[1] % 8 * 120,
+            "n_frames": 24 * (1 + d[2] % 120),
+            "sample_rate": None,
+        }
+    if kind == "audio":
+        return {
+            "width": None,
+            "height": None,
+            "n_frames": None,
+            "sample_rate": [8000, 16000, 22050, 44100][d[0] % 4],
+        }
+    return {"width": None, "height": None, "n_frames": None, "sample_rate": None}
+
+
+def real_decoder(payload: bytes, kind: str) -> dict:
+    """Where libjpeg/Pillow/ffmpeg would plug in — not available in this
+    container."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "inject a decoder via extract_media_meta(decoder=...)"
+    )
+
+
+def extract_media_meta(
+    df: DataFrame,
+    url_col: str = "url",
+    bytes_col: str = "content",
+    kind_col: str = "kind",
+    decoder: Callable[[bytes, str], dict] = fake_decoder,
+) -> DataFrame:
+    """binary rows → typed metadata rows (MEDIA_META_SCHEMA). One Arrow
+    pass; bytes are dropped on output (metadata-only downstream)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(b, k) for b, k in zip(pdf[bytes_col], pdf[kind_col])]
+            out = pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "kind": pdf[kind_col],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[bytes_col]],
+                    "content_hash": [
+                        hashlib.sha256(b).hexdigest().upper() if b is not None else None
+                        for b in pdf[bytes_col]
+                    ],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                }
+            )
+            yield out
+
+    cols = [url_col, bytes_col, kind_col]
+    return df.select(*cols).mapInPandas(_decode, MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(
+    meta: DataFrame, every_n: int = 24, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plan for video rows: (url, frame_index) pairs,
+    JVM-side sequence/explode — the downstream decode stage (stubbed)
+    would seek these indices."""
+    vids = meta.filter(F.col("kind") == "video").select(
+        "url", "n_frames"
+    )
+    return vids.select(
+        "url",
+        F.explode(
+            F.slice(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+                1,
+                max_frames,
+            )
+        ).alias("frame_index"),
+    )

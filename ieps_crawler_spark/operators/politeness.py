@@ -1,0 +1,78 @@
+"""Politeness budget selection — the Spark re-expression of the
+reference's per-domain FIFO + crawl-delay loop (DomainWorkerActor.scala:
+102-151 politeness scheduling; SiteRobotsTxt.scala:18-30 delays;
+FrontierManagerActor.scala:77-100 domain routing).
+
+The reference gives each domain one worker that sleeps ``delay`` ms
+between fetches — i.e. a host fetches at most ``wave_ms / delay_ms`` URLs
+per wall-clock window. We make the window explicit (a crawl wave) and
+enforce the budget with a rank-over-window: FIFO order within a host is
+``(priority, wave, enq_seq)`` (BFS-with-preference; priority ascending
+like the reference's priority mailbox, CrawlerBoundedPriorityMailbox.
+scala:14-21), and only the first ``budget(host)`` rows are fetched; the
+rest stay pending.
+
+Scale notes (100 TB / 10^10-frontier):
+- The window shuffles by host — exactly the politeness isolation the
+  reference gets from 1-worker-per-domain (no host spans a politeness
+  group). Skewed giant hosts are bounded by the budget itself: rank is
+  computed per host partition and AQE skew handling splits oversized
+  partitions for the join stages that follow.
+- ``sched_ts = wave_start + (rank-1) * delay_ms`` reproduces the crawl
+  clock without wall-clock sleeps (test-scale determinism; a production
+  fetcher would rate-limit on this column).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.robots import DEFAULT_CRAWL_DELAY_MS
+
+WAVE_EPOCH = dt.datetime(2019, 4, 1, 0, 0, 0)
+
+
+def host_delays(sites_df: DataFrame) -> DataFrame:
+    """(host, delay_ms) from robots content — tiny dim, broadcast at use."""
+    from ..functions.robots import robots_delay_udf
+
+    return sites_df.select(
+        "host", robots_delay_udf("robots_content").alias("delay_ms")
+    )
+
+
+def select_budget(
+    frontier: DataFrame,
+    delays: DataFrame,
+    wave: int,
+    wave_seconds: int = 60,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (batch, leftover). batch carries fetch_order (per-host rank),
+    delay_ms and sched_ts; leftover is the untouched pending remainder."""
+    wave_ms = wave_seconds * 1000
+    w = Window.partitionBy("host").orderBy("priority", "wave", "enq_seq")
+    ranked = (
+        frontier.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
+        )
+        .withColumn("budget", F.greatest(F.lit(1), F.lit(wave_ms) / F.col("delay_ms")).cast("long"))
+        .withColumn("fetch_order", F.row_number().over(w).cast("long"))
+    )
+    wave_start = F.lit(WAVE_EPOCH) + F.make_interval(secs=F.lit(wave * wave_seconds))
+    batch = ranked.filter(F.col("fetch_order") <= F.col("budget")).withColumn(
+        "sched_ts",
+        (
+            F.col("fetch_order") - F.lit(1)
+        ).cast("double") * F.col("delay_ms") / 1000.0
+        # seconds offset → timestamp
+    ).withColumn(
+        "sched_ts", wave_start + F.make_interval(secs=F.col("sched_ts"))
+    )
+    leftover = ranked.filter(F.col("fetch_order") > F.col("budget")).select(
+        *frontier.columns
+    )
+    return batch.drop("budget"), leftover

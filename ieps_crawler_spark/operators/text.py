@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All built-in
+``pyspark.sql.functions`` expressions (JVM-side, whole-stage codegen) —
+each returns a Column so they compose into any select, and each has an
+ANSI-SQL twin in __spark_entry__.oracle_sql for the DuckDB gate.
+
+The reference stores raw text and does its analysis offline in R
+(r/loadTime.R, report §4); these operators are the Spark-native
+equivalent surface a 100 TB webtext corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small seeded stopword lists (language-ID heuristic: n-gram/stopword
+# counting — deliberately SQL-expressible so DuckDB can oracle-check it)
+SL_STOPWORDS = ["in", "je", "na", "za", "se", "da", "so", "ki", "pri", "tudi"]
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (0 for empty/null-safe trims)."""
+    trimmed = F.trim(F.col(col))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish subword proxy: count of word/number/punct chunks via the
+    classic GPT-2 pre-tokenizer-style regex split."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(col), F.lit(r"[A-Za-zÀ-ſ]+|[0-9]+|[^\sA-Za-z0-9]"), 0
+        )
+    )
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(col), r"[^.,;:!?]", ""))
+    return (n_punct.cast("double") / F.nullif(F.length(F.col(col)).cast("double"), F.lit(0.0)))
+
+
+def upper_ratio(col: str = "text") -> Column:
+    n_upper = F.length(F.regexp_replace(F.col(col), r"[^A-Z]", ""))
+    return n_upper.cast("double") / F.nullif(F.length(F.col(col)).cast("double"), F.lit(0.0))
+
+
+def _stopword_hits(col: str, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), 0))
+
+
+def stopword_ratio(col: str = "text", lang: str = "sl") -> Column:
+    words = SL_STOPWORDS if lang == "sl" else EN_STOPWORDS
+    return _stopword_hits(col, words).cast("double") / F.nullif(
+        token_count(col).cast("double"), F.lit(0.0)
+    )
+
+
+def lang_id(col: str = "text") -> Column:
+    """Heuristic language ID: more Slovenian stopword hits → 'sl', more
+    English → 'en', tie/none → 'unk'."""
+    sl = _stopword_hits(col, SL_STOPWORDS)
+    en = _stopword_hits(col, EN_STOPWORDS)
+    return (
+        F.when(sl > en, F.lit("sl")).when(en > sl, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality score: length sweet-spot + punctuation
+    sanity + stopword presence (the C4/Gopher-style cheap filters)."""
+    length = F.length(F.col(col)).cast("double")
+    len_ok = F.when((length >= 50) & (length <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.1, 1.0).otherwise(0.0)
+    stop_ok = F.when(
+        (stopword_ratio(col, "sl") > 0.0) | (stopword_ratio(col, "en") > 0.0), 1.0
+    ).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Deterministic 16-hex-char document fingerprint over normalized
+    text (lowercased, whitespace-collapsed) — md5-prefix based so the
+    DuckDB oracle can reproduce it exactly."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, 16)
+
+
+def rolling_fingerprints(col: str = "text", window: int = 32, stride: int = 16) -> Column:
+    """Winnowing-style rolling fingerprints: md5 of each stride-aligned
+    character window over normalized text (array<string>). Used for
+    partial-overlap detection; not SQL-oracled (array construction)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return F.expr(
+        f"transform(sequence(1, greatest(1, length({_norm_sql(col)}) - {window - 1}), {stride}), "
+        f"i -> substring(md5(substring({_norm_sql(col)}, i, {window})), 1, 8))"
+    )
+
+
+def _norm_sql(col: str) -> str:
+    return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"

@@ -1,0 +1,211 @@
+"""The BFS crawl driver loop (SURVEY §7 step 6) — deterministic
+wave iteration with per-wave atomic checkpointing and resume.
+
+Catalyst has no fixpoint operator; the loop lives on the driver, but ALL
+data work is DataFrame ops — the driver only sequences waves and reads
+tiny aggregate counts. Each wave:
+
+    state(wave k) --run_wave--> deltas + state(wave k+1) --commit-->
+
+State tables (frontier, seen, seen_hashes, known_hosts) are rewritten
+per wave and re-read from parquet — this both truncates lineage (no
+ever-growing plan) and IS the checkpoint. Deltas (crawl_results, links,
+metrics) append per wave. Commit order: deltas first, snapshot last
+(atomic rename) — a crash between the two leaves orphan deltas that
+resume truncates (DeltaLog.truncate_after), so the resumed run is
+byte-identical to an uninterrupted one (tested in test_resume.py).
+
+The reference's equivalents: BigQueue flush+gc (queue/Queue.scala:10),
+Postgres .transactionally commits (CrawlerDIO.scala:54,77,86), and SIGINT
+graceful shutdown (CrawlerApp.scala:38-45) — here any kill is graceful
+because state is always wave-consistent on disk.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.seen import build_bloom
+from ..sinks.tables import DeltaLog, SnapshotStore
+from .wave import inject_first_touch, run_wave, seed_frontier
+
+STATE_TABLES = ("frontier", "seen", "seen_hashes", "known_hosts")
+
+
+@dataclass
+class CrawlStats:
+    waves: int = 0
+    fetched: int = 0
+    per_wave: list = field(default_factory=list)
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        sites: DataFrame,
+        sitemap_bodies: dict[str, str] | None,
+        ckpt_dir: str,
+        wave_seconds: int = 60,
+        use_bloom: bool = False,
+        bloom_shards: int = 8,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.sites = sites
+        self.bodies = sitemap_bodies or {}
+        self.store = SnapshotStore(f"{ckpt_dir}/state")
+        self.deltas = DeltaLog(f"{ckpt_dir}/deltas")
+        self.wave_seconds = wave_seconds
+        self.use_bloom = use_bloom
+        self.bloom_shards = bloom_shards
+
+    # ------------------------------------------------------------------ init
+    def _init_state(self, seeds: list[str]) -> int:
+        spark = self.spark
+        triggers = seed_frontier(spark, seeds)
+        injected, new_hosts = inject_first_touch(
+            triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("canon_url").orderBy("enq_seq")
+        pending = (
+            triggers.unionByName(injected)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        self.store.commit_wave(
+            0,
+            {
+                "frontier": pending,
+                "seen": pending.select("canon_url"),
+                "seen_hashes": spark.createDataFrame([], "content_hash string"),
+                "known_hosts": new_hosts,
+            },
+        )
+        return 0
+
+    # ------------------------------------------------------------------- run
+    def run(
+        self,
+        seeds: list[str] | None = None,
+        max_waves: int | None = None,
+        max_results: int | None = None,
+        resume: bool = False,
+    ) -> CrawlStats:
+        spark = self.spark
+        if resume:
+            wave = self.store.latest_wave()
+            if wave is None:
+                raise ValueError("nothing to resume from")
+            self.deltas.truncate_after(wave - 1)
+        else:
+            assert seeds, "seeds required for a fresh crawl"
+            wave = self._init_state(seeds)
+
+        stats = CrawlStats()
+        fetched_total = _count_fetched(self.deltas, spark)
+        while True:
+            if max_waves is not None and wave >= max_waves:
+                break
+            if max_results is not None and fetched_total >= max_results:
+                break
+            state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
+            if state["frontier"].isEmpty():
+                break
+            t0 = time.time()
+            bloom = (
+                build_bloom(state["seen"], self.bloom_shards)
+                if self.use_bloom
+                else None
+            )
+            out = run_wave(
+                spark,
+                wave,
+                state["frontier"],
+                self.pages,
+                self.sites,
+                state["seen"],
+                state["seen_hashes"],
+                state["known_hosts"],
+                self.bodies,
+                self.wave_seconds,
+                bloom=bloom,
+            )
+            # deltas first …
+            self.deltas.append(wave, "crawl_results", out.results)
+            self.deltas.append(wave, "links", out.links)
+            # … then the atomic state snapshot
+            self.store.commit_wave(
+                wave + 1,
+                {
+                    "frontier": out.pending_next,
+                    "seen": state["seen"].unionByName(out.seen_add).distinct(),
+                    "seen_hashes": state["seen_hashes"]
+                    .unionByName(out.hashes_add)
+                    .distinct(),
+                    "known_hosts": state["known_hosts"].unionByName(out.hosts_add).distinct(),
+                },
+            )
+            # wave metrics from the just-written delta (cheap re-read of
+            # one wave directory — not the whole log)
+            res = self.deltas.read_wave(spark, "crawl_results", wave)
+            counts = {
+                r["page_type"]: r["count"]
+                for r in res.groupBy("page_type").count().collect()
+            }
+            n_fetched = sum(counts.values())
+            fetched_total += n_fetched
+            metrics = {
+                "wave": wave,
+                "hosts": res.select("host").distinct().count(),
+                "fetched": n_fetched,
+                "html_pages": counts.get("HTML", 0),
+                "invalid": counts.get("INVALID", 0),
+                "disallowed": counts.get("DISALLOWED", 0),
+                "duplicates": counts.get("DUPLICATE", 0),
+                "binary": counts.get("BINARY", 0),
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+            self.deltas.append(
+                wave, "metrics", spark.createDataFrame([metrics])
+            )
+            stats.per_wave.append(metrics)
+            stats.waves += 1
+            stats.fetched = fetched_total
+            spark.catalog.clearCache()
+            wave += 1
+            if n_fetched == 0 and out.pending_next.isEmpty():
+                break
+        return stats
+
+    # --------------------------------------------------------------- readers
+    def results(self) -> DataFrame | None:
+        return self.deltas.read_all(self.spark, "crawl_results")
+
+    def links(self) -> DataFrame | None:
+        df = self.deltas.read_all(self.spark, "links")
+        # global edge dedup on read (Iceberg MERGE equivalent)
+        return df.dropDuplicates(["from_url", "to_url"]) if df is not None else None
+
+    def metrics(self) -> DataFrame | None:
+        return self.deltas.read_all(self.spark, "metrics")
+
+    def seen(self) -> DataFrame:
+        return self.store.read(self.spark, self.store.latest_wave(), "seen")
+
+
+def _empty_hosts(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "host string")
+
+
+def _count_fetched(deltas: DeltaLog, spark: SparkSession) -> int:
+    df = deltas.read_all(spark, "crawl_results")
+    return 0 if df is None else df.count()

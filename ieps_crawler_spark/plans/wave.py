@@ -1,0 +1,347 @@
+"""One crawl wave as a declarative DataFrame pipeline (SURVEY §3.1 Spark
+lifecycle / §7 step 5). Implements exactly the contract defined by
+``simulator.simulate`` — same classification, per-host FIFO order, and
+enqueue-order rules — with Catalyst-friendly operators:
+
+frontier → politeness top-k (window rank ≤ budget)
+         → robots gate (broadcast sites dim + Arrow UDF)
+         → corpus join ("fetch": frontier ⋈ pages — the hot join; sort-merge
+           at scale with AQE skew splitting, never broadcast on the corpus
+           side)
+         → status gate + sha2 content hash (JVM-side, whole-stage codegen)
+         → hash-dup marking (window first-wins + prior-hash anti-join)
+         → single-pass text+link extraction (Arrow UDF) → explode
+         → URL-seen dedup (exact anti-join; optional sharded-Bloom routing)
+         → first-touch injections (domain root + sitemap seeding)
+         → next frontier with deterministic enq_seq
+
+Column hygiene mirrors the reference's (DomainWorkerActor.scala:185-199
+strips htmlContent before re-enqueue): ``html`` never crosses the
+extraction boundary — only text/links/hash columns flow on.
+
+enq_seq encoding: (group << 40) | local, group 0 = domain root,
+1 = triggered links (local = row_number by parent_host, parent_rank,
+link pos), 2 = sitemap entries (local = sitemap position). FIFO per host
+across waves = ORDER BY (priority, wave, enq_seq).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.canon import canonicalize_udf, extract_domain_udf
+from ..functions.extract import con_type_udf, extract_page_udf
+from ..functions.robots import robots_allowed_udf
+from ..operators.politeness import host_delays, select_budget
+from ..operators.seen import dedup_against_seen
+
+GROUP_ROOT, GROUP_LINK, GROUP_SITEMAP = 0, 1, 2
+_GROUP_SHIFT = 40
+
+
+@dataclass
+class WaveOutput:
+    results: DataFrame  # CRAWL_RESULTS rows of this wave
+    links: DataFrame  # distinct new (from_url, to_url) edges of this wave
+    pending_next: DataFrame  # frontier for wave+1 (leftover ∪ new entries)
+    seen_add: DataFrame  # canon_urls newly enqueued
+    hashes_add: DataFrame  # content hashes newly stored (HTML originals)
+    hosts_add: DataFrame  # hosts first touched this wave
+
+
+def seed_frontier(spark, seeds: list[str]) -> DataFrame:
+    """Wave-0 trigger rows (group 1, local = seed position). The crawl
+    driver applies inject_first_touch to these before wave 0 runs, so the
+    seed hosts get their [root] + seeds + [sitemap] enqueue order exactly
+    like any host first touched mid-crawl."""
+    from ..functions.canon import extract_domain, get_canonical
+
+    rows = []
+    for i, s in enumerate(seeds):
+        c = get_canonical(s)
+        if c is None:
+            continue
+        h = extract_domain(c)
+        rows.append((c, h, 0, None, 0, 0, (GROUP_LINK << _GROUP_SHIFT) | i))
+    return spark.createDataFrame(
+        rows,
+        "canon_url string, host string, data_type int, ref_url string, "
+        "wave int, priority int, enq_seq long",
+    )
+
+
+def inject_first_touch(
+    candidates: DataFrame,
+    known_hosts: DataFrame,
+    sites: DataFrame,
+    sitemap_bodies: dict[str, str],
+    next_wave: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (injected frontier rows, new_hosts). candidates are the
+    already-deduped new frontier rows for next_wave."""
+    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.functions import pandas_udf
+
+    new_hosts = (
+        candidates.select("host").distinct().join(known_hosts, "host", "left_anti")
+    )
+
+    bodies = dict(sitemap_bodies or {})
+
+    def _sm_series(content):
+        import pandas as pd
+
+        from ..functions.sitemaps import sitemap_urls
+
+        return pd.Series([sitemap_urls(c, bodies) for c in content])
+
+    sitemap_urls_udf = pandas_udf(_sm_series, ArrayType(StringType()))
+
+    dim = new_hosts.join(F.broadcast(sites), "host", "left")
+    roots = (
+        dim.select("host", canonicalize_udf("host").alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .filter(extract_domain_udf("canon_url") == F.col("host"))
+        .select(
+            "canon_url",
+            "host",
+            F.lit(0).alias("data_type"),
+            F.lit(None).cast("string").alias("ref_url"),
+            F.lit(next_wave).alias("wave"),
+            F.lit(0).alias("priority"),
+            F.lit(GROUP_ROOT << _GROUP_SHIFT).cast("long").alias("enq_seq"),
+        )
+    )
+    sitemaps = (
+        dim.filter(F.col("sitemap_content").isNotNull())
+        .select(
+            "host",
+            F.posexplode(sitemap_urls_udf("sitemap_content")).alias("pos", "raw_url"),
+        )
+        .withColumn("canon_url", canonicalize_udf("raw_url"))
+        .filter(F.col("canon_url").isNotNull())
+        # off-host sitemap entries ignored (see simulator.first_touch_urls)
+        .filter(extract_domain_udf("canon_url") == F.col("host"))
+        .select(
+            "canon_url",
+            "host",
+            F.lit(0).alias("data_type"),
+            F.lit(None).cast("string").alias("ref_url"),
+            F.lit(next_wave).alias("wave"),
+            F.lit(0).alias("priority"),
+            (F.lit(GROUP_SITEMAP << _GROUP_SHIFT) + F.col("pos")).cast("long").alias("enq_seq"),
+        )
+    )
+    return roots.unionByName(sitemaps), new_hosts
+
+
+def run_wave(
+    spark,
+    wave: int,
+    pending: DataFrame,
+    pages: DataFrame,
+    sites: DataFrame,
+    seen: DataFrame,
+    seen_hashes: DataFrame,
+    known_hosts: DataFrame,
+    sitemap_bodies: dict[str, str] | None = None,
+    wave_seconds: int = 60,
+    bloom: DataFrame | None = None,
+) -> WaveOutput:
+    # ---- 1. politeness top-k selection ----------------------------------
+    delays = host_delays(sites)
+    batch, leftover = select_budget(pending, delays, wave, wave_seconds)
+
+    # ---- 2. robots gate (broadcast dim + Arrow UDF) ----------------------
+    batch = batch.join(
+        F.broadcast(sites.select("host", "robots_content")), "host", "left"
+    ).withColumn("allowed", robots_allowed_udf("canon_url", "robots_content"))
+
+    # ---- 3. fetch = frontier ⋈ corpus (left join; missing → 404) ---------
+    corpus = pages.select(F.col("url").alias("canon_url"), "html")
+    fetched = batch.join(corpus, "canon_url", "left")
+
+    # ---- 4. status + content hash (JVM-side) -----------------------------
+    fetched = fetched.withColumn(
+        "http_status",
+        F.when(~F.col("allowed"), F.lit(None).cast("int"))
+        .when(F.col("html").isNull(), F.lit(404))
+        .otherwise(F.lit(200)),
+    ).withColumn(
+        "content_hash",
+        F.when(
+            F.col("allowed") & F.col("html").isNotNull(),
+            F.upper(F.sha2(F.col("html"), 256)),
+        ),
+    )
+
+    # ---- 5. duplicate marking (first-wins, cross- and intra-wave) --------
+    # global deterministic order inside a wave = (host, fetch_order) —
+    # matching the simulator's sorted-host sweep.
+    # only allowed HTML-candidate rows participate in hash ranking — binary
+    # rows never mark or become DUPLICATEs (simulator contract; the
+    # reference's hash-dup path is the page insert, CrawlerDIO.scala:82-86)
+    eligible = (
+        F.col("allowed") & (F.col("data_type") == 0) & F.col("content_hash").isNotNull()
+    )
+    fetched = fetched.withColumn("_dup_key", F.when(eligible, F.col("content_hash")))
+    dup_w = Window.partitionBy("_dup_key").orderBy("host", "fetch_order")
+    prior = seen_hashes.select(F.col("content_hash").alias("_prior_hash"))
+    fetched = (
+        fetched.withColumn("_rn", F.when(eligible, F.row_number().over(dup_w)))
+        .drop("_dup_key")
+        .join(
+            prior,
+            F.col("content_hash") == F.col("_prior_hash"),
+            "left",
+        )
+        .withColumn("_hash_seen", F.col("_prior_hash").isNotNull())
+        .drop("_prior_hash")
+    )
+    fetched = fetched.withColumn(
+        "page_type",
+        F.when(~F.col("allowed"), F.lit("DISALLOWED"))
+        .when(F.col("html").isNull(), F.lit("INVALID"))
+        .when(
+            (F.col("data_type") == 0) & (F.col("_hash_seen") | (F.col("_rn") > 1)),
+            F.lit("DUPLICATE"),
+        )
+        .when(F.col("data_type") == 0, F.lit("HTML"))
+        .otherwise(F.lit("BINARY")),
+    ).withColumn(
+        "kind",
+        F.when(F.col("data_type") == 0, F.lit("PAGE"))
+        .when(F.col("data_type") == 1, F.lit("IMG"))
+        .otherwise(F.lit("DATA")),
+    )
+
+    # ---- 6. extraction (single Arrow pass over HTML originals only) ------
+    html_rows = fetched.filter(F.col("page_type") == "HTML").withColumn(
+        "_page", extract_page_udf("html", "host")
+    )
+    extracted = html_rows.select(
+        "canon_url",
+        "host",
+        "data_type",
+        "wave",
+        "fetch_order",
+        "sched_ts",
+        "http_status",
+        "content_hash",
+        "kind",
+        "page_type",
+        F.col("_page.text").alias("text"),
+        F.col("_page.links").alias("links"),
+    )
+    extracted.cache()  # reused for results, children, links, hashes
+
+    non_html = fetched.filter(F.col("page_type") != "HTML").select(
+        "canon_url",
+        "host",
+        "data_type",
+        "wave",
+        "fetch_order",
+        "sched_ts",
+        "http_status",
+        "content_hash",
+        "kind",
+        "page_type",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("array<struct<url:string,kind:string,pos:int>>").alias("links"),
+    )
+
+    all_rows = extracted.unionByName(non_html)
+    results = all_rows.select(
+        F.col("canon_url").alias("url"),
+        "host",
+        "kind",
+        "page_type",
+        "http_status",
+        "content_hash",
+        F.lit(wave).alias("wave"),
+        "fetch_order",
+        "sched_ts",
+        "text",
+        F.when(
+            F.col("page_type") == "BINARY", con_type_udf("canon_url")
+        ).alias("data_type_code"),
+    )
+
+    # ---- 7. children: explode links → link edges + frontier candidates ---
+    children = extracted.select(
+        F.col("canon_url").alias("parent_url"),
+        F.col("host").alias("parent_host"),
+        F.col("fetch_order").alias("parent_rank"),
+        F.explode("links").alias("l"),
+    ).select(
+        "parent_url",
+        "parent_host",
+        "parent_rank",
+        F.col("l.url").alias("canon_url"),
+        F.col("l.kind").alias("child_kind"),
+        F.col("l.pos").alias("pos"),
+    )
+
+    links = (
+        children.filter(F.col("child_kind") == "PAGE")
+        .select(F.col("parent_url").alias("from_url"), F.col("canon_url").alias("to_url"))
+        .dropDuplicates(["from_url", "to_url"])
+    )
+
+    cand = (
+        children.withColumn("host", extract_domain_udf("canon_url"))
+        .filter(F.col("host") != "")
+        .withColumn(
+            "data_type",
+            F.when(F.col("child_kind") == "PAGE", 0)
+            .when(F.col("child_kind") == "IMG", 1)
+            .otherwise(2),
+        )
+    )
+    # in-batch first-wins dedup by deterministic enqueue order
+    first_w = Window.partitionBy("canon_url").orderBy(
+        "parent_host", "parent_rank", "pos"
+    )
+    cand = cand.withColumn("_rn", F.row_number().over(first_w)).filter(
+        F.col("_rn") == 1
+    )
+    # per-(host) local enqueue position
+    local_w = Window.partitionBy("host").orderBy("parent_host", "parent_rank", "pos")
+    next_wave = wave + 1
+    cand = cand.select(
+        "canon_url",
+        "host",
+        "data_type",
+        F.col("parent_url").alias("ref_url"),
+        F.lit(next_wave).alias("wave"),
+        F.lit(0).alias("priority"),
+        (
+            F.lit(GROUP_LINK << _GROUP_SHIFT) + F.row_number().over(local_w)
+        ).cast("long").alias("enq_seq"),
+    )
+    cand = dedup_against_seen(cand, seen, bloom=bloom)
+
+    # ---- 8. first-touch injections (root + sitemap seeding) --------------
+    injected, new_hosts = inject_first_touch(
+        cand, known_hosts, sites, sitemap_bodies or {}, next_wave
+    )
+    injected = dedup_against_seen(injected, seen, bloom=bloom)
+    # root/sitemap may collide with triggered candidates: triggers win on
+    # group order only if url differs — dedup across the union, keeping
+    # the smallest (group, local) = enq_seq per url (root < links < sitemap
+    # per the simulator's [root]+triggers+[sitemap] enqueue order).
+    union_w = Window.partitionBy("canon_url").orderBy("enq_seq")
+    new_frontier = (
+        cand.unionByName(injected)
+        .withColumn("_rn", F.row_number().over(union_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    pending_next = leftover.unionByName(new_frontier)
+    seen_add = new_frontier.select("canon_url")
+    hashes_add = extracted.select("content_hash").distinct()
+    return WaveOutput(results, links, pending_next, seen_add, hashes_add, new_hosts)

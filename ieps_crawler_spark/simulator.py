@@ -86,12 +86,18 @@ def simulate(
     def first_touch_urls(host: str) -> tuple[list[str], list[str]]:
         root = get_canonical(host)
         robots, sitemap = sites.get(host, (None, None))
+        # Off-host sitemap entries are ignored (documented divergence: the
+        # reference would enqueue them on the triggering domain's worker
+        # queue, FrontierManagerActor.scala:156-170 — which breaks the
+        # 1-worker-per-domain politeness isolation; we route by URL host
+        # and our fixtures keep sitemaps same-host so both agree).
         sm = [
             c
             for c in (get_canonical(u) for u in sitemap_urls(sitemap, sitemap_bodies))
-            if c is not None
+            if c is not None and extract_domain(c) == host
         ]
-        return ([root] if root else []), sm
+        roots = [root] if root and extract_domain(root) == host else []
+        return roots, sm
 
     def enqueue(host: str, entries: list[dict]) -> None:
         """entries arrive in deterministic order; dedup against seen."""

@@ -1,0 +1,51 @@
+"""Checkpoint/resume equivalence (SURVEY §5.3): kill after wave k, resume
+from the snapshot, final state identical to an uninterrupted run —
+including truncation of orphan deltas from a simulated torn commit."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ieps_crawler_spark.corpus import generate_corpus
+from ieps_crawler_spark.plans.crawl import Crawler
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    corpus = generate_corpus(120, seed=42)
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    bodies = {r["url"]: r["content"] for _, r in corpus["sitemap_bodies"].iterrows()}
+    return corpus, pages, sites, bodies
+
+
+def test_resume_identical(spark, setup, tmp_path):
+    corpus, pages, sites, bodies = setup
+    full = Crawler(spark, pages, sites, bodies, str(tmp_path / "full"), wave_seconds=60)
+    full.run(seeds=corpus["seeds"], max_waves=5)
+
+    part = Crawler(spark, pages, sites, bodies, str(tmp_path / "part"), wave_seconds=60)
+    part.run(seeds=corpus["seeds"], max_waves=2)  # "crash" after wave 2
+    # torn-commit simulation: orphan delta newer than the last snapshot
+    orphan = part.results().limit(3).withColumn("wave", F.lit(99))
+    part.deltas.append(99, "crawl_results", orphan)
+
+    resumed = Crawler(spark, pages, sites, bodies, str(tmp_path / "part"), wave_seconds=60)
+    resumed.run(resume=True, max_waves=5)
+
+    cols = ["url", "page_type", "http_status", "content_hash", "wave", "fetch_order"]
+    a = full.results().select(cols).sort("url").collect()
+    b = resumed.results().select(cols).sort("url").collect()
+    assert a == b
+    assert set(map(tuple, full.links().collect())) == set(
+        map(tuple, resumed.links().collect())
+    )
+    sa = {r["canon_url"] for r in full.seen().collect()}
+    sb = {r["canon_url"] for r in resumed.seen().collect()}
+    assert sa == sb
+
+
+def test_resume_requires_state(spark, setup, tmp_path):
+    corpus, pages, sites, bodies = setup
+    c = Crawler(spark, pages, sites, bodies, str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        c.run(resume=True)
