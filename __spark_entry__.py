@@ -1,38 +1,814 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: the full BFS crawl (frontier → politeness →
+               robots → fetch-join → extract → dedup) over a deterministic
+               web corpus derived from the sf0.001 ``documents`` table.
+``queries``  — one entry per operator family from SURVEY.md §2 plus the
+               training-data-pipeline operators (dedup / similarity /
+               multimodal / text analysis).
+``oracle_sql`` — DuckDB twins for every SQL-expressible query. Queries
+               whose hot path is a Python-side hash (blake2b minhash,
+               hyperplane LSH) or the full iterative crawl have no SQL
+               twin and get the driver's rows-only check.
+
+Numeric policy: every float aggregate is rounded identically on both
+sides; every timestamp is formatted to a string so value-hashes cannot
+diverge on type formatting.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SL = ["in", "je", "na", "za", "se", "da", "so", "ki", "pri", "tudi"]
+EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
+_ROBOTS = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full crawl over the documents-derived corpus at sf0.001: three BFS
+    waves with politeness budgets, robots gating, fetch-join, Arrow-UDF
+    link extraction and URL/content dedup; returns crawl_results."""
+    return _crawl_results(spark, "/root/testdata/sf0.001", max_waves=3)
+
+
+def _crawl_results(spark: SparkSession, sf_dir: str, max_waves: int) -> DataFrame:
+    from ieps_crawler_spark.plans.crawl import Crawler
+    from ieps_crawler_spark.webgen import web_from_documents
+
+    pages, sites, seeds = web_from_documents(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ieps_entry_")
+    crawler = Crawler(spark, pages, sites, None, ckpt, wave_seconds=600)
+    crawler.run(seeds=seeds, max_waves=max_waves)
+    res = crawler.results()
+    return res.select(
+        "url", "host", "kind", "page_type", "http_status", "content_hash",
+        "wave", "fetch_order",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_crawl_canonicalize(spark, sf_dir):
+    """O2 — URL canonicalization UDF (Canonical.scala:15-59), six variants."""
+    from ieps_crawler_spark.functions.canon import canonicalize_udf
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw = (
+        F.when(d % 6 == 0, F.concat(F.lit("http://EVEM.GOV.SI/p"), ds, F.lit("/")))
+        .when(d % 6 == 1, F.concat(F.lit("evem.gov.si/p"), ds))
+        .when(d % 6 == 2, F.concat(F.lit("http://evem.gov.si/p"), ds, F.lit("#frag")))
+        .when(d % 6 == 3, F.concat(F.lit("http://evem.gov.si/p"), ds, F.lit("/index.html")))
+        .when(d % 6 == 4, F.concat(F.lit("http://evem.gov.si/f"), ds, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("http://www.evem.gov.si/p"), ds, F.lit("/")))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("raw_url"))
+        .withColumn("canon_url", canonicalize_udf("raw_url"))
+    )
+
+
+def q_crawl_host_extract(spark, sf_dir):
+    """O3 — domain extraction incl. the reference's substring(4) 'www'
+    quirk (Canonical.scala:61-67): www2.x -> .x"""
+    from ieps_crawler_spark.functions.canon import extract_domain_udf
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("http://evem.gov.si/p"), ds, F.lit("/")))
+        .when(d % 4 == 1, F.concat(F.lit("http://www.evem.gov.si/p"), ds, F.lit("/")))
+        .when(d % 4 == 2, F.concat(F.lit("http://www2.evem.gov.si/p"), ds, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://ARSO.GOV.SI/p"), ds, F.lit("/")))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("raw_url"))
+        .withColumn("host", extract_domain_udf("raw_url"))
+    )
+
+
+def q_crawl_robots_gate(spark, sf_dir):
+    """O5 — robots.txt allow/deny (SiteRobotsTxt.scala:37-41)."""
+    from ieps_crawler_spark.functions.robots import robots_allowed_udf
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 2 == 0, F.concat(F.lit("http://h.gov.si/p"), ds, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://h.gov.si/private/p"), ds, F.lit("/")))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("canon_url"), F.lit(_ROBOTS).alias("robots"))
+        .withColumn("allowed", robots_allowed_udf("canon_url", "robots"))
+        .select("doc_id", "canon_url", "allowed")
+    )
+
+
+def q_crawl_robots_delay(spark, sf_dir):
+    """O6 — crawl-delay extraction, 4000 ms default (SiteRobotsTxt.scala:18-30)."""
+    from ieps_crawler_spark.functions.robots import robots_delay_udf
+
+    d = F.col("doc_id")
+    robots = (
+        F.when(d % 3 == 0, F.lit(None).cast("string"))
+        .when(d % 3 == 1, F.lit("User-agent: *\nCrawl-delay: 2\n"))
+        .otherwise(F.lit("User-agent: *\nCrawl-delay: 7\n"))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", robots.alias("robots"))
+        .withColumn("delay_ms", robots_delay_udf("robots"))
+        .select("doc_id", "delay_ms")
+    )
+
+
+def q_crawl_budget_topk(spark, sf_dir):
+    """O6/O15/O19 — politeness budget via window rank over per-host FIFO,
+    through the real operators.politeness.select_budget."""
+    from ieps_crawler_spark.operators.politeness import select_budget
+
+    o = _read(spark, sf_dir, "orders")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    frontier = o.select(
+        F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".gov.si/o"),
+                 F.col("o_orderkey").cast("string"), F.lit("/")).alias("canon_url"),
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.lit(0).alias("data_type"),
+        F.lit(None).cast("string").alias("ref_url"),
+        F.lit(0).alias("wave"),
+        F.lit(0).alias("priority"),
+        F.col("o_orderkey").alias("enq_seq"),
+        F.pmod(hid, F.lit(3)).alias("_g"),
+    )
+    delays = (
+        frontier.select("host", "_g").distinct()
+        .select(
+            "host",
+            F.when(F.col("_g") == 0, 2000)
+            .when(F.col("_g") == 1, 4000)
+            .otherwise(12000).cast("long").alias("delay_ms"),
+        )
+    )
+    batch, _ = select_budget(frontier.drop("_g"), delays, wave=0, wave_seconds=60)
+    return batch.select(
+        "host", "canon_url", "fetch_order",
+        F.date_format("sched_ts", "yyyy-MM-dd HH:mm:ss").alias("sched_ts_s"),
+    )
+
+
+def q_crawl_fetch_classify(spark, sf_dir):
+    """O8/O20/O22 — fetch = frontier left-join corpus, missing -> 404,
+    robots-denied -> DISALLOWED with null status (the reference's
+    page-state dispatch, DomainWorkerActor.scala:114-151)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    corpus = c.filter(F.pmod(F.col("c_custkey"), F.lit(5)) != 2).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("body")
+    )
+    fetched = (
+        o.select("o_orderkey", "o_custkey",
+                 (F.pmod(F.col("o_custkey"), F.lit(10)) != 3).alias("allowed"))
+        .join(corpus, F.col("o_custkey") == F.col("k"), "left")
+    )
+    return fetched.select(
+        "o_orderkey",
+        F.when(~F.col("allowed"), F.lit(None).cast("int"))
+        .when(F.col("body").isNull(), F.lit(404))
+        .otherwise(F.lit(200)).alias("http_status"),
+        F.when(~F.col("allowed"), "DISALLOWED")
+        .when(F.col("body").isNull(), "INVALID")
+        .otherwise("HTML").alias("page_type"),
+    )
+
+
+def q_crawl_seen_antijoin(spark, sf_dir):
+    """O12 — URL-seen dedup as left_anti join (CrawlerDIO.scala:118-131)."""
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    seen = (
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == 0)
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return part.join(seen, "p_partkey", "left_anti").select("p_partkey", "p_name")
+
+
+def q_crawl_hash_dup_mark(spark, sf_dir):
+    """O10/O13 — upper(sha2) content hash + window first-wins DUPLICATE
+    marking (HashGenerator.scala:7-15, CrawlerDIO.scala:73-86)."""
+    from ieps_crawler_spark.operators.dedup import mark_content_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.upper(F.sha2(F.col("text"), 256)).alias("content_hash")
+    )
+    return mark_content_duplicates(docs, "content_hash", "doc_id").select(
+        "doc_id", "content_hash", "is_duplicate"
+    )
+
+
+def q_crawl_link_graph(spark, sf_dir):
+    """O14/O29 — link-graph edge dedup + out-degree analytics."""
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("from_id"), F.col("l_partkey").alias("to_id")
+    ).dropDuplicates(["from_id", "to_id"])
+    return edges.groupBy("from_id").agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def q_crawl_wave_metrics(spark, sf_dir):
+    """O25 — per-wave metrics aggregation shape."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_crawl_set_split(spark, sf_dir):
+    """O21 — in/out-domain split via left_semi / left_anti + union."""
+    li = _read(spark, sf_dir, "lineitem")
+    sub = _read(spark, sf_dir, "part").filter(F.col("p_size") > 25).select("p_partkey")
+    intra = li.join(sub, li.l_partkey == sub.p_partkey, "left_semi").select(
+        F.lit("intra").alias("side")
+    )
+    cross = li.join(sub, li.l_partkey == sub.p_partkey, "left_anti").select(
+        F.lit("cross").alias("side")
+    )
+    return intra.unionByName(cross).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_crawl_point_lookup(spark, sf_dir):
+    """O28 — batched inSet point lookups + FK join (CrawlerDIO.scala:12-36)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    keys = [1, 7, 32, 64, 128, 515, 1024]
+    return (
+        o.filter(F.col("o_orderkey").isin(keys))
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    )
+
+
+def q_crawl_upsert_latest(spark, sf_dir):
+    """O28 — insertOrUpdate upsert = keep latest row per key
+    (CrawlerDIO.scala:44-71 re-expressed as window dedup)."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+        )
+    )
+
+
+def q_tpch_q1_agg(spark, sf_dir):
+    """Headline relational agg (TPC-H Q1 shape) — map-side partial aggs."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------- dedup ops
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeper + copy count."""
+    from ieps_crawler_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only: blake2b shingles)."""
+    from ieps_crawler_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole blocking (rows-only)."""
+    from ieps_crawler_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id", 3)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard on constructed candidate pairs."""
+    from ieps_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    pairs = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") + 1 < n)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_jaccard_pairs(docs, pairs, "text", "doc_id", 3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding cosine near-dup pairs (threshold 0.35, exact all-pairs)."""
+    from ieps_crawler_spark.operators.dedup import embedding_neardup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, "vec_id", "embedding", 0.35).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ----------------------------------------------------------- similarity ops
+
+def q_similarity_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-10 per query vector (broadcast queries)."""
+    from ieps_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=10, query_id_col="query_id").select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k (rows-only)."""
+    from ieps_crawler_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, q, dim=dim, k=10, n_planes=8)
+
+
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized approximate top-k (rows-only)."""
+    from ieps_crawler_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=10, n_lists=8, n_probe=3)
+
+
+# ----------------------------------------------------------- multimodal ops
+
+def q_multimodal_media_meta(spark, sf_dir):
+    """Binary media columns -> typed metadata via Arrow mapInPandas."""
+    from ieps_crawler_spark.operators.multimodal import extract_media_meta
+
+    d = F.col("doc_id")
+    media = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media://d"), d.cast("string")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.when(d % 3 == 0, "image").when(d % 3 == 1, "audio")
+        .otherwise("video").alias("kind"),
+    )
+    return extract_media_meta(media, "url", "content", "kind").select(
+        "url", "kind", "n_bytes", "content_hash"
+    )
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Frame-sampling plan for video rows (rows-only: fake-decoder meta)."""
+    from ieps_crawler_spark.operators.multimodal import (
+        extract_media_meta, frame_sample_plan,
+    )
+
+    d = F.col("doc_id")
+    media = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media://d"), d.cast("string")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.when(d % 3 == 0, "image").when(d % 3 == 1, "audio")
+        .otherwise("video").alias("kind"),
+    )
+    return frame_sample_plan(extract_media_meta(media, "url", "content", "kind"))
+
+
+# ----------------------------------------------------------------- text ops
+
+def q_text_token_count(spark, sf_dir):
+    from ieps_crawler_spark.operators.text import bpe_ish_token_count, token_count
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_text_lang_quality(spark, sf_dir):
+    from ieps_crawler_spark.operators.text import lang_id, quality_score
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from ieps_crawler_spark.operators.text import fingerprint
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# -------------------------------------------------------------- events ops
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling 1-hour window counts (batch twin of the streaming surface)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """30-min-gap sessionization via lag + running sum (batch twin of
+    streaming/metrics_stream.sessionize_events)."""
+    ev = _read(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts") - F.lag("ts").over(by_user) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return gapped.groupBy("user_id", "sess_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ----------------------------------------------------------------- crawl e2e
+
+def q_crawl_e2e(spark, sf_dir):
+    """Full 3-wave BFS crawl over the documents-derived corpus (rows-only:
+    iterative, checkpointed — not SQL-expressible)."""
+    return _crawl_results(spark, sf_dir, max_waves=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_canonicalize": q_crawl_canonicalize,
+        "crawl_host_extract": q_crawl_host_extract,
+        "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_robots_delay": q_crawl_robots_delay,
+        "crawl_budget_topk": q_crawl_budget_topk,
+        "crawl_fetch_classify": q_crawl_fetch_classify,
+        "crawl_seen_antijoin": q_crawl_seen_antijoin,
+        "crawl_hash_dup_mark": q_crawl_hash_dup_mark,
+        "crawl_link_graph": q_crawl_link_graph,
+        "crawl_wave_metrics": q_crawl_wave_metrics,
+        "crawl_set_split": q_crawl_set_split,
+        "crawl_point_lookup": q_crawl_point_lookup,
+        "crawl_upsert_latest": q_crawl_upsert_latest,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "multimodal_media_meta": q_multimodal_media_meta,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "text_token_count": q_text_token_count,
+        "text_lang_quality": q_text_lang_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "crawl_e2e": q_crawl_e2e,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_SL_PAT = r"\b(in|je|na|za|se|da|so|ki|pri|tudi)\b"
+_EN_PAT = r"\b(the|and|of|to|in|is|that|for|with|as)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_canonicalize": r"""
+            SELECT doc_id, raw_url,
+                   CASE doc_id % 6
+                     WHEN 4 THEN 'http://evem.gov.si/f' || doc_id || '.pdf'
+                     WHEN 5 THEN 'http://www.evem.gov.si/p' || doc_id || '/'
+                     ELSE 'http://evem.gov.si/p' || doc_id || '/'
+                   END AS canon_url
+            FROM (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'http://EVEM.GOV.SI/p' || doc_id || '/'
+                       WHEN 1 THEN 'evem.gov.si/p' || doc_id
+                       WHEN 2 THEN 'http://evem.gov.si/p' || doc_id || '#frag'
+                       WHEN 3 THEN 'http://evem.gov.si/p' || doc_id || '/index.html'
+                       WHEN 4 THEN 'http://evem.gov.si/f' || doc_id || '.pdf'
+                       ELSE 'http://www.evem.gov.si/p' || doc_id || '/'
+                     END AS raw_url
+              FROM documents)
+        """,
+        "crawl_host_extract": r"""
+            SELECT doc_id, raw_url,
+                   CASE doc_id % 4
+                     WHEN 2 THEN '.evem.gov.si'
+                     WHEN 3 THEN 'arso.gov.si'
+                     ELSE 'evem.gov.si'
+                   END AS host
+            FROM (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'http://evem.gov.si/p' || doc_id || '/'
+                       WHEN 1 THEN 'http://www.evem.gov.si/p' || doc_id || '/'
+                       WHEN 2 THEN 'http://www2.evem.gov.si/p' || doc_id || '/'
+                       ELSE 'http://ARSO.GOV.SI/p' || doc_id || '/'
+                     END AS raw_url
+              FROM documents)
+        """,
+        "crawl_robots_gate": r"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://h.gov.si/p' || doc_id || '/'
+                        ELSE 'http://h.gov.si/private/p' || doc_id || '/'
+                   END AS canon_url,
+                   doc_id % 2 = 0 AS allowed
+            FROM documents
+        """,
+        "crawl_robots_delay": r"""
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 4000 WHEN 1 THEN 2000
+                   ELSE 7000 END AS delay_ms
+            FROM documents
+        """,
+        "crawl_budget_topk": r"""
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 23) AS host,
+                     'http://h' || (o_custkey % 23) || '.gov.si/o' || o_orderkey || '/' AS canon_url,
+                     o_orderkey AS enq_seq,
+                     CASE (o_custkey % 23) % 3 WHEN 0 THEN 2000 WHEN 1 THEN 4000
+                     ELSE 12000 END AS delay_ms
+              FROM orders),
+            ranked AS (
+              SELECT host, canon_url, delay_ms,
+                     row_number() OVER (PARTITION BY host ORDER BY enq_seq)
+                       AS fetch_order
+              FROM f)
+            SELECT host, canon_url, fetch_order,
+                   strftime(TIMESTAMP '2019-04-01 00:00:00'
+                     + to_milliseconds((fetch_order - 1) * delay_ms),
+                     '%Y-%m-%d %H:%M:%S') AS sched_ts_s
+            FROM ranked
+            WHERE fetch_order <= greatest(1, 60000 // delay_ms)
+        """,
+        "crawl_fetch_classify": r"""
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 10 = 3 THEN NULL
+                        WHEN k IS NULL THEN 404 ELSE 200 END AS http_status,
+                   CASE WHEN o_custkey % 10 = 3 THEN 'DISALLOWED'
+                        WHEN k IS NULL THEN 'INVALID'
+                        ELSE 'HTML' END AS page_type
+            FROM orders LEFT JOIN (
+              SELECT c_custkey AS k FROM customer WHERE c_custkey % 5 <> 2
+            ) ON o_custkey = k
+        """,
+        "crawl_seen_antijoin": r"""
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN
+              (SELECT l_partkey FROM lineitem WHERE l_orderkey % 3 = 0)
+        """,
+        "crawl_hash_dup_mark": r"""
+            SELECT doc_id, upper(sha256(text)) AS content_hash,
+                   row_number() OVER (PARTITION BY upper(sha256(text))
+                                      ORDER BY doc_id) > 1 AS is_duplicate
+            FROM documents
+        """,
+        "crawl_link_graph": r"""
+            SELECT from_id, count(*) AS out_degree FROM (
+              SELECT DISTINCT l_orderkey AS from_id, l_partkey AS to_id
+              FROM lineitem)
+            GROUP BY from_id
+        """,
+        "crawl_wave_metrics": r"""
+            SELECT o_orderstatus, count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "crawl_set_split": r"""
+            SELECT CASE WHEN p_partkey IS NULL THEN 'cross' ELSE 'intra' END
+                     AS side,
+                   count(*) AS n
+            FROM lineitem LEFT JOIN (
+              SELECT p_partkey FROM part WHERE p_size > 25
+            ) ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "crawl_point_lookup": r"""
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey IN (1, 7, 32, 64, 128, 515, 1024)
+        """,
+        "crawl_upsert_latest": r"""
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+            WHERE rn = 1
+        """,
+        "tpch_q1_agg": r"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": r"""
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1)),
+                       i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')
+                     )) AS grams
+              FROM documents),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              WHERE doc_id % 5 = 0
+                AND doc_id + 1 < (SELECT count(*) FROM documents))
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+                     6) AS jaccard
+            FROM pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id
+        """,
+        "dedup_embedding_cosine": r"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])))),
+                     4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))))
+                  >= 0.35
+        """,
+        "similarity_bruteforce_topk": r"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                     / nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                                    CAST(qv AS DOUBLE[]))), 0)
+                       AS cos
+              FROM embeddings, q)
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "multimodal_media_meta": r"""
+            SELECT 'media://d' || doc_id AS url,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   upper(sha256(text)) AS content_hash
+            FROM documents
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                     '[A-Za-zÀ-ſ]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "text_lang_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(lower(text), '{_SL_PAT}')) AS sl,
+                     len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS en,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN sl > en THEN 'sl' WHEN en > sl THEN 'en'
+                   ELSE 'unk' END AS lang_pred,
+                   round((
+                     (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           <= 0.1 * length(text) THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN sl > 0 OR en > 0 THEN 1.0 ELSE 0.0 END)
+                   ) / 3.0, 4) AS quality
+            FROM t
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
+                             1, 16) AS fp
+            FROM documents
+        """,
+        "events_window_agg": r"""
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": r"""
+            WITH gapped AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM gapped)
+            SELECT user_id, sess_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY user_id, sess_id
+        """,
+    }

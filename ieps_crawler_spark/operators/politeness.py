@@ -62,6 +62,9 @@ def select_budget(
         .withColumn("budget", F.greatest(F.lit(1), F.lit(wave_ms) / F.col("delay_ms")).cast("long"))
         .withColumn("fetch_order", F.row_number().over(w).cast("long"))
     )
+    # batch and leftover split the same ranked frame — cache so the
+    # join+window runs once, not once per consumer
+    ranked.cache()
     wave_start = F.lit(WAVE_EPOCH) + F.make_interval(secs=F.lit(wave * wave_seconds))
     batch = ranked.filter(F.col("fetch_order") <= F.col("budget")).withColumn(
         "sched_ts",

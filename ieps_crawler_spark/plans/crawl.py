@@ -29,9 +29,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.politeness import host_delays
 from ..operators.seen import build_bloom
 from ..sinks.tables import DeltaLog, SnapshotStore
-from .wave import inject_first_touch, run_wave, seed_frontier
+from .wave import (
+    build_first_touch_template,
+    inject_first_touch,
+    run_wave,
+    seed_frontier,
+)
 
 STATE_TABLES = ("frontier", "seen", "seen_hashes", "known_hosts")
 
@@ -64,13 +70,25 @@ class Crawler:
         self.wave_seconds = wave_seconds
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        # static per-crawl dims: robots delays + first-touch (root/sitemap)
+        # rows. Materialized to parquet ONCE so the sitemap-parse and
+        # canonicalize UDFs never re-run per wave and the per-wave plans
+        # start from a plain (broadcastable) scan with no UDF lineage.
+        dims_dir = f"{ckpt_dir}/dims"
+        host_delays(sites).write.mode("overwrite").parquet(f"{dims_dir}/delays")
+        build_first_touch_template(sites, sitemap_bodies).write.mode(
+            "overwrite"
+        ).parquet(f"{dims_dir}/first_touch")
+        self.delays = spark.read.parquet(f"{dims_dir}/delays")
+        self.first_touch = spark.read.parquet(f"{dims_dir}/first_touch")
 
     # ------------------------------------------------------------------ init
     def _init_state(self, seeds: list[str]) -> int:
         spark = self.spark
         triggers = seed_frontier(spark, seeds)
         injected, new_hosts = inject_first_touch(
-            triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0
+            triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0,
+            template=self.first_touch,
         )
         from pyspark.sql import Window
 
@@ -112,6 +130,14 @@ class Crawler:
 
         stats = CrawlStats()
         fetched_total = _count_fetched(self.deltas, spark)
+        # adaptive-execution gearbox: AQE + wide shuffles are essential at
+        # corpus scale (skew-join splitting, runtime coalesce) but at small
+        # wave sizes each AQE stage re-plan adds ~1s of fixed latency — a
+        # 3x wall-clock tax measured at sf0.001. Switch per wave on the
+        # previous wave's row volume; both confs are runtime-settable.
+        base_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        base_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        prev_rows = None
         while True:
             if max_waves is not None and wave >= max_waves:
                 break
@@ -120,6 +146,13 @@ class Crawler:
             state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
             if state["frontier"].isEmpty():
                 break
+            small = prev_rows is None or prev_rows < 100_000
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", "false" if small else base_aqe
+            )
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", "8" if small else base_parts
+            )
             t0 = time.time()
             bloom = (
                 build_bloom(state["seen"], self.bloom_shards)
@@ -138,34 +171,46 @@ class Crawler:
                 self.bodies,
                 self.wave_seconds,
                 bloom=bloom,
+                delays=self.delays,
+                first_touch_template=self.first_touch,
             )
-            # deltas first …
-            self.deltas.append(wave, "crawl_results", out.results)
-            self.deltas.append(wave, "links", out.links)
+            # deltas first … (concurrent jobs; results populates the
+            # fetched/extracted caches that links also reads)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(self.deltas.append, wave, "crawl_results", out.results)
+                f2 = ex.submit(self.deltas.append, wave, "links", out.links)
+                f1.result(), f2.result()
             # … then the atomic state snapshot
+            # append-only unions: seen_add/hashes_add/hosts_add are already
+            # deduped against prior state inside run_wave (anti-joins /
+            # first-wins windows), so no distinct() shuffle is needed here
             self.store.commit_wave(
                 wave + 1,
                 {
                     "frontier": out.pending_next,
-                    "seen": state["seen"].unionByName(out.seen_add).distinct(),
-                    "seen_hashes": state["seen_hashes"]
-                    .unionByName(out.hashes_add)
-                    .distinct(),
-                    "known_hosts": state["known_hosts"].unionByName(out.hosts_add).distinct(),
+                    "seen": state["seen"].unionByName(out.seen_add),
+                    "seen_hashes": state["seen_hashes"].unionByName(out.hashes_add),
+                    "known_hosts": state["known_hosts"].unionByName(out.hosts_add),
                 },
             )
             # wave metrics from the just-written delta (cheap re-read of
             # one wave directory — not the whole log)
             res = self.deltas.read_wave(spark, "crawl_results", wave)
-            counts = {
-                r["page_type"]: r["count"]
-                for r in res.groupBy("page_type").count().collect()
-            }
+            # one job: rollup gives per-type counts plus the overall row
+            # (page_type NULL) carrying the distinct-host total
+            agg = res.rollup("page_type").agg(
+                F.count(F.lit(1)).alias("count"),
+                F.approx_count_distinct("host").alias("hosts"),
+            ).collect()
+            counts = {r["page_type"]: r["count"] for r in agg if r["page_type"] is not None}
+            n_hosts = next((r["hosts"] for r in agg if r["page_type"] is None), 0)
             n_fetched = sum(counts.values())
             fetched_total += n_fetched
             metrics = {
                 "wave": wave,
-                "hosts": res.select("host").distinct().count(),
+                "hosts": n_hosts,
                 "fetched": n_fetched,
                 "html_pages": counts.get("HTML", 0),
                 "invalid": counts.get("INVALID", 0),
@@ -181,9 +226,12 @@ class Crawler:
             stats.waves += 1
             stats.fetched = fetched_total
             spark.catalog.clearCache()
+            prev_rows = n_fetched
             wave += 1
             if n_fetched == 0 and out.pending_next.isEmpty():
                 break
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         return stats
 
     # --------------------------------------------------------------- readers

@@ -73,21 +73,16 @@ def seed_frontier(spark, seeds: list[str]) -> DataFrame:
     )
 
 
-def inject_first_touch(
-    candidates: DataFrame,
-    known_hosts: DataFrame,
-    sites: DataFrame,
-    sitemap_bodies: dict[str, str],
-    next_wave: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (injected frontier rows, new_hosts). candidates are the
-    already-deduped new frontier rows for next_wave."""
-    from pyspark.sql.types import ArrayType, StringType
+def build_first_touch_template(
+    sites: DataFrame, sitemap_bodies: dict[str, str] | None
+) -> DataFrame:
+    """Static per-host first-touch rows (root + sitemap entries), computed
+    ONCE per crawl — robots/sitemap content never changes mid-crawl, so
+    re-running the sitemap-parse and canonicalize UDFs every wave (as the
+    first implementation did) just re-pays Arrow stage setup. Columns:
+    (host, canon_url, enq_seq); wave is stamped at injection time."""
     from pyspark.sql.functions import pandas_udf
-
-    new_hosts = (
-        candidates.select("host").distinct().join(known_hosts, "host", "left_anti")
-    )
+    from pyspark.sql.types import ArrayType, StringType
 
     bodies = dict(sitemap_bodies or {})
 
@@ -100,23 +95,17 @@ def inject_first_touch(
 
     sitemap_urls_udf = pandas_udf(_sm_series, ArrayType(StringType()))
 
-    dim = new_hosts.join(F.broadcast(sites), "host", "left")
     roots = (
-        dim.select("host", canonicalize_udf("host").alias("canon_url"))
+        sites.select("host", canonicalize_udf("host").alias("canon_url"))
         .filter(F.col("canon_url").isNotNull())
         .filter(extract_domain_udf("canon_url") == F.col("host"))
         .select(
-            "canon_url",
-            "host",
-            F.lit(0).alias("data_type"),
-            F.lit(None).cast("string").alias("ref_url"),
-            F.lit(next_wave).alias("wave"),
-            F.lit(0).alias("priority"),
+            "host", "canon_url",
             F.lit(GROUP_ROOT << _GROUP_SHIFT).cast("long").alias("enq_seq"),
         )
     )
     sitemaps = (
-        dim.filter(F.col("sitemap_content").isNotNull())
+        sites.filter(F.col("sitemap_content").isNotNull())
         .select(
             "host",
             F.posexplode(sitemap_urls_udf("sitemap_content")).alias("pos", "raw_url"),
@@ -126,16 +115,56 @@ def inject_first_touch(
         # off-host sitemap entries ignored (see simulator.first_touch_urls)
         .filter(extract_domain_udf("canon_url") == F.col("host"))
         .select(
-            "canon_url",
-            "host",
-            F.lit(0).alias("data_type"),
-            F.lit(None).cast("string").alias("ref_url"),
-            F.lit(next_wave).alias("wave"),
-            F.lit(0).alias("priority"),
+            "host", "canon_url",
             (F.lit(GROUP_SITEMAP << _GROUP_SHIFT) + F.col("pos")).cast("long").alias("enq_seq"),
         )
     )
-    return roots.unionByName(sitemaps), new_hosts
+    return roots.unionByName(sitemaps)
+
+
+def inject_first_touch(
+    candidates: DataFrame,
+    known_hosts: DataFrame,
+    sites: DataFrame,
+    sitemap_bodies: dict[str, str],
+    next_wave: int,
+    template: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (injected frontier rows, new_hosts). candidates are the
+    already-deduped new frontier rows for next_wave.
+
+    With a precomputed ``template`` the per-wave cost is one broadcast
+    join on host (no UDF stages). Hosts absent from ``sites`` (discovered
+    mid-crawl without a site row) fall back to a canonicalize-UDF root —
+    that path only sees the (small) set of genuinely new unknown hosts."""
+    new_hosts = (
+        candidates.select("host").distinct().join(known_hosts, "host", "left_anti")
+    )
+    if template is None:
+        template = build_first_touch_template(sites, sitemap_bodies)
+    templated = new_hosts.join(F.broadcast(template), "host", "inner")
+    unknown = new_hosts.join(
+        F.broadcast(sites.select("host")), "host", "left_anti"
+    )
+    unknown_roots = (
+        unknown.select("host", canonicalize_udf("host").alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .filter(extract_domain_udf("canon_url") == F.col("host"))
+        .select(
+            "host", "canon_url",
+            F.lit(GROUP_ROOT << _GROUP_SHIFT).cast("long").alias("enq_seq"),
+        )
+    )
+    injected = templated.unionByName(unknown_roots).select(
+        "canon_url",
+        "host",
+        F.lit(0).alias("data_type"),
+        F.lit(None).cast("string").alias("ref_url"),
+        F.lit(next_wave).alias("wave"),
+        F.lit(0).alias("priority"),
+        F.col("enq_seq"),
+    )
+    return injected, new_hosts
 
 
 def run_wave(
@@ -150,9 +179,15 @@ def run_wave(
     sitemap_bodies: dict[str, str] | None = None,
     wave_seconds: int = 60,
     bloom: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    first_touch_template: DataFrame | None = None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
-    delays = host_delays(sites)
+    # delays/template are static dims — callers that loop waves pass them
+    # in precomputed+cached (crawl.Crawler does) so no robots/sitemap UDF
+    # re-runs per wave
+    if delays is None:
+        delays = host_delays(sites)
     batch, leftover = select_budget(pending, delays, wave, wave_seconds)
 
     # ---- 2. robots gate (broadcast dim + Arrow UDF) ----------------------
@@ -217,6 +252,12 @@ def run_wave(
         .when(F.col("data_type") == 1, F.lit("IMG"))
         .otherwise(F.lit("DATA")),
     )
+    # fetched feeds both the HTML-extract branch and the non-HTML branch,
+    # and each downstream sink triggers its own action — cache to run the
+    # corpus join + dup windows once per wave (html bytes are dropped at
+    # the very next projection, so the cached block stays small-ish and is
+    # freed by the driver's per-wave clearCache())
+    fetched.cache()
 
     # ---- 6. extraction (single Arrow pass over HTML originals only) ------
     html_rows = fetched.filter(F.col("page_type") == "HTML").withColumn(
@@ -323,11 +364,14 @@ def run_wave(
         ).cast("long").alias("enq_seq"),
     )
     cand = dedup_against_seen(cand, seen, bloom=bloom)
+    cand.cache()  # feeds first-touch detection AND the next-frontier union
 
     # ---- 8. first-touch injections (root + sitemap seeding) --------------
     injected, new_hosts = inject_first_touch(
-        cand, known_hosts, sites, sitemap_bodies or {}, next_wave
+        cand, known_hosts, sites, sitemap_bodies or {}, next_wave,
+        template=first_touch_template,
     )
+    new_hosts.cache()  # consumed by the injected rows and the hosts sink
     injected = dedup_against_seen(injected, seen, bloom=bloom)
     # root/sitemap may collide with triggered candidates: triggers win on
     # group order only if url differs — dedup across the union, keeping
@@ -340,6 +384,7 @@ def run_wave(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    new_frontier.cache()  # consumed by both the frontier and seen sinks
 
     pending_next = leftover.unionByName(new_frontier)
     seen_add = new_frontier.select("canon_url")

@@ -65,11 +65,20 @@ class SnapshotStore:
             shutil.rmtree(final)
         os.makedirs(staging)
         lineage = {}
-        for name, df in tables.items():
+        # independent table writes run as concurrent Spark jobs (threads
+        # share the scheduler) — wall time is the slowest write, not the sum
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             path = os.path.join(staging, name)
             df.write.mode("overwrite").parquet(path)
             # per-partition lineage: parquet part-file row counts
-            lineage[name] = _partition_rowcounts(path)
+            return name, _partition_rowcounts(path)
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+            for name, counts in ex.map(_write, tables.items()):
+                lineage[name] = counts
         manifest = {
             "wave": wave,
             "committed_at": time.time(),

@@ -1,0 +1,78 @@
+"""Derive a deterministic Common-Crawl-shaped web corpus from the driver's
+``documents`` parquet table — pure DataFrame expressions, no Python loops.
+
+Used by ``__spark_entry__.entry`` (flagship crawl on sf0.001) and by
+``bench.py`` (sf0.1 throughput): each document row becomes one HTML page in
+the input_hint shape ``(url, warc_ts, html, text, lang)``; links between
+pages are arithmetic functions of ``doc_id`` so the link graph, the BFS
+reach, and every crawl output are deterministic.
+
+Shape choices mirror the reference's world (SURVEY §1.4):
+- hosts ``h{0..n-1}.gov.si`` — inside the reference's "gov.si" scope filter
+  (ExtractFromHTML.scala:86-88), heavy-tailed via ``doc_id % n_hosts`` with
+  a quadratic skew term so host 0 gets ~2x traffic (skew-handling is real).
+- even hosts publish robots.txt with ``Disallow: /x`` + ``Crawl-delay: 1``;
+  odd hosts have none (4000 ms default, SiteRobotsTxt.scala:18).
+- every 7th page links to a dead URL (INVALID/404 path) and every 10th to a
+  ``.pdf`` (binary-doc path, ExtractFromHTML.scala:20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _host(doc_id_col):
+    # quadratic fold: ids whose square mod 2n lands low map to host 0/1 more
+    # often -> heavy-tailed host sizes without any data-dependent input
+    return F.concat(F.lit("h"), (F.pmod(doc_id_col * doc_id_col + doc_id_col, 8)).cast("string"), F.lit(".gov.si"))
+
+
+def _url(doc_id_col):
+    return F.concat(F.lit("http://"), _host(doc_id_col), F.lit("/d"), doc_id_col.cast("string"), F.lit("/"))
+
+
+def web_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Returns (pages, sites, seeds). pages has the input_hint schema."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    total = docs.count()
+    d = F.col("doc_id")
+    t1 = F.pmod(d * 7 + 1, F.lit(total))
+    t2 = F.pmod(d * 13 + 5, F.lit(total))
+    t3 = F.pmod(d + 1, F.lit(total))
+    clean = F.regexp_replace(F.col("text"), r'[<>&"]', " ")
+    dead = F.concat(F.lit("http://"), _host(d), F.lit("/dead"), d.cast("string"), F.lit("/"))
+    pdf = F.concat(F.lit("http://"), _host(d), F.lit("/files/f"), d.cast("string"), F.lit(".pdf"))
+    html_str = F.concat(
+        F.lit("<html><head><title>doc "), d.cast("string"), F.lit("</title></head><body><h1>d"),
+        d.cast("string"), F.lit("</h1><p>"), clean, F.lit("</p>"),
+        F.concat(F.lit('<a href="'), _url(t1), F.lit('">next</a>')),
+        F.concat(F.lit('<a href="'), _url(t2), F.lit('">more</a>')),
+        F.concat(F.lit('<a href="'), _url(t3), F.lit('">succ</a>')),
+        F.when(d % 7 == 0, F.concat(F.lit('<a href="'), dead, F.lit('">gone</a>'))).otherwise(F.lit("")),
+        F.when(d % 10 == 0, F.concat(F.lit('<a href="'), pdf, F.lit('">doc</a>'))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        _url(d).alias("url"),
+        F.lit("2019-04-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        clean.alias("text"),
+        F.col("lang"),
+    )
+    sites_rows = []
+    for h in range(8):
+        robots = (
+            "User-agent: *\nDisallow: /x\nCrawl-delay: 1\n" if h % 2 == 0 else None
+        )
+        sites_rows.append((f"h{h}.gov.si", robots, None))
+    sites = spark.createDataFrame(
+        sites_rows, "host string, robots_content string, sitemap_content string"
+    )
+    seeds = [f"http://h{(i * i + i) % 8}.gov.si/d{i}/" for i in range(3)]
+    return pages, sites, seeds
