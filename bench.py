@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness for the PySpark crawl engine (driver contract).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = the full BFS crawl (frontier -> politeness -> robots -> corpus
+fetch-join -> Arrow-UDF extract -> URL/content dedup -> checkpoint) over a
+Common-Crawl-shaped corpus derived from the sf documents table, replicated
+to bench scale (default ~200k pages at sf0.1, 64 hosts). The corpus is
+materialized to parquet ONCE (untimed setup — it stands in for the Iceberg
+pages table); the timed section is the crawl itself, i.e. what the
+BASELINE.json metric measures: URLs fetched+deduped/sec.
+
+Every other `__spark_entry__.queries()` entry is timed with a noop-sink
+write (full plan execution, no driver collect).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE / BENCH_HOSTS /
+BENCH_SEEDS / BENCH_WAVES. CLI flags override env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _time_noop(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
+                n_seeds: int, max_waves: int) -> dict:
+    from ieps_crawler_spark.plans.crawl import Crawler
+    from ieps_crawler_spark.webgen import web_from_documents
+
+    pages_expr, sites, seeds = web_from_documents(
+        spark, sf_dir, replicate=replicate, n_hosts=n_hosts, n_seeds=n_seeds
+    )
+    work = tempfile.mkdtemp(prefix="ieps_bench_")
+    try:
+        # untimed setup: materialize the synthetic web as a real table scan
+        # (the production input is an Iceberg pages table, not an expression)
+        pages_expr.write.mode("overwrite").parquet(f"{work}/corpus")
+        pages = spark.read.parquet(f"{work}/corpus")
+        n_pages = pages.count()
+
+        t0 = time.time()
+        crawler = Crawler(
+            spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000
+        )
+        stats = crawler.run(seeds=seeds, max_waves=max_waves)
+        elapsed = time.time() - t0
+        return {
+            "sec": round(elapsed, 3),
+            "urls": stats.fetched,
+            "waves": stats.waves,
+            "corpus_pages": n_pages,
+            "urls_per_sec": round(stats.fetched / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=os.environ.get("BENCH_ONLY", ""),
+                    help="comma list of query names (or 'crawl') to run")
+    ap.add_argument("--replicate", type=int,
+                    default=int(os.environ.get("BENCH_REPLICATE", "40")))
+    ap.add_argument("--hosts", type=int,
+                    default=int(os.environ.get("BENCH_HOSTS", "64")))
+    ap.add_argument("--seeds", type=int,
+                    default=int(os.environ.get("BENCH_SEEDS", "1000")))
+    ap.add_argument("--waves", type=int,
+                    default=int(os.environ.get("BENCH_WAVES", "12")))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ieps_crawler_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        "ieps_crawler_bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    only = {s for s in args.only.split(",") if s}
+    results: dict[str, float] = {}
+    extras: dict = {"cpus": int(cpus), "sf_dir": sf_dir}
+
+    if not only or "crawl" in only:
+        crawl = bench_crawl(
+            spark, sf_dir, args.replicate, args.hosts, args.seeds, args.waves
+        )
+        results["crawl"] = crawl["sec"]
+        extras["crawl"] = crawl
+
+    skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
+    for name, fn in entry_mod.queries().items():
+        if name in skip:
+            continue
+        if only and name not in only:
+            continue
+        results[name] = _time_noop(spark, fn, sf_dir)
+
+    out = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,50 +23,66 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _host(doc_id_col):
+def _host(doc_id_col, n_hosts: int = 8):
     # quadratic fold: ids whose square mod 2n lands low map to host 0/1 more
     # often -> heavy-tailed host sizes without any data-dependent input
-    return F.concat(F.lit("h"), (F.pmod(doc_id_col * doc_id_col + doc_id_col, 8)).cast("string"), F.lit(".gov.si"))
+    return F.concat(F.lit("h"), (F.pmod(doc_id_col * doc_id_col + doc_id_col, n_hosts)).cast("string"), F.lit(".gov.si"))
 
 
-def _url(doc_id_col):
-    return F.concat(F.lit("http://"), _host(doc_id_col), F.lit("/d"), doc_id_col.cast("string"), F.lit("/"))
+def _url(doc_id_col, n_hosts: int = 8):
+    return F.concat(F.lit("http://"), _host(doc_id_col, n_hosts), F.lit("/d"), doc_id_col.cast("string"), F.lit("/"))
 
 
 def web_from_documents(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    n_hosts: int = 8,
+    n_seeds: int = 3,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
-    """Returns (pages, sites, seeds). pages has the input_hint schema."""
+    """Returns (pages, sites, seeds). pages has the input_hint shape.
+
+    ``replicate`` > 1 blows the corpus up deterministically (bench scale):
+    each replica r re-derives doc_id' = doc_id + r*|docs|, so links and the
+    BFS reach stay pure functions of the id space. ``n_hosts`` controls the
+    politeness-partitioning width (a 10^10 frontier has millions of hosts;
+    bench runs use hundreds so no single host serializes a wave)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
-    total = docs.count()
+    base = docs.count()
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_rep") * base).alias("doc_id"), "text", "lang"
+        )
+    total = base * replicate
     d = F.col("doc_id")
     t1 = F.pmod(d * 7 + 1, F.lit(total))
     t2 = F.pmod(d * 13 + 5, F.lit(total))
     t3 = F.pmod(d + 1, F.lit(total))
     clean = F.regexp_replace(F.col("text"), r'[<>&"]', " ")
-    dead = F.concat(F.lit("http://"), _host(d), F.lit("/dead"), d.cast("string"), F.lit("/"))
-    pdf = F.concat(F.lit("http://"), _host(d), F.lit("/files/f"), d.cast("string"), F.lit(".pdf"))
+    dead = F.concat(F.lit("http://"), _host(d, n_hosts), F.lit("/dead"), d.cast("string"), F.lit("/"))
+    pdf = F.concat(F.lit("http://"), _host(d, n_hosts), F.lit("/files/f"), d.cast("string"), F.lit(".pdf"))
     html_str = F.concat(
         F.lit("<html><head><title>doc "), d.cast("string"), F.lit("</title></head><body><h1>d"),
         d.cast("string"), F.lit("</h1><p>"), clean, F.lit("</p>"),
-        F.concat(F.lit('<a href="'), _url(t1), F.lit('">next</a>')),
-        F.concat(F.lit('<a href="'), _url(t2), F.lit('">more</a>')),
-        F.concat(F.lit('<a href="'), _url(t3), F.lit('">succ</a>')),
+        F.concat(F.lit('<a href="'), _url(t1, n_hosts), F.lit('">next</a>')),
+        F.concat(F.lit('<a href="'), _url(t2, n_hosts), F.lit('">more</a>')),
+        F.concat(F.lit('<a href="'), _url(t3, n_hosts), F.lit('">succ</a>')),
         F.when(d % 7 == 0, F.concat(F.lit('<a href="'), dead, F.lit('">gone</a>'))).otherwise(F.lit("")),
         F.when(d % 10 == 0, F.concat(F.lit('<a href="'), pdf, F.lit('">doc</a>'))).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
     pages = docs.select(
-        _url(d).alias("url"),
+        _url(d, n_hosts).alias("url"),
         F.lit("2019-04-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         clean.alias("text"),
         F.col("lang"),
     )
     sites_rows = []
-    for h in range(8):
+    for h in range(n_hosts):
         robots = (
             "User-agent: *\nDisallow: /x\nCrawl-delay: 1\n" if h % 2 == 0 else None
         )
@@ -74,5 +90,10 @@ def web_from_documents(
     sites = spark.createDataFrame(
         sites_rows, "host string, robots_content string, sitemap_content string"
     )
-    seeds = [f"http://h{(i * i + i) % 8}.gov.si/d{i}/" for i in range(3)]
+    stride = max(1, total // max(n_seeds, 1)) if n_seeds > 3 else 1
+    seeds = [
+        f"http://h{(i * i + i) % n_hosts}.gov.si/d{i}/"
+        for i in (j * stride for j in range(n_seeds))
+        if i < total
+    ]
     return pages, sites, seeds
