@@ -54,6 +54,14 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
         pages = spark.read.parquet(f"{work}/corpus")
         n_pages = pages.count()
 
+        # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
+        # codegen paths and warms the shuffle machinery so the timed
+        # section measures steady state, not JVM cold start
+        warm = Crawler(
+            spark, pages, sites, None, f"{work}/warm", wave_seconds=1_000
+        )
+        warm.run(seeds=seeds[:2], max_waves=2)
+
         t0 = time.time()
         crawler = Crawler(
             spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000
@@ -66,6 +74,15 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
             "waves": stats.waves,
             "corpus_pages": n_pages,
             "urls_per_sec": round(stats.fetched / elapsed, 1),
+            "per_wave": [
+                {
+                    "fetched": m["fetched"],
+                    "sec": m["elapsed_sec"],
+                    "deltas": m.get("deltas_sec"),
+                    "snap": m.get("snapshot_sec"),
+                }
+                for m in stats.per_wave
+            ],
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -130,6 +130,14 @@ class Crawler:
 
         stats = CrawlStats()
         fetched_total = _count_fetched(self.deltas, spark)
+        # frontier emptiness comes from the commit manifest's lineage row
+        # counts (written at snapshot time) — no extra isEmpty() job per wave
+        frontier_rows = None
+        if resume:
+            try:
+                frontier_rows = _lineage_rows(self.store.manifest(wave), "frontier")
+            except (FileNotFoundError, KeyError):
+                frontier_rows = None
         # adaptive-execution gearbox: AQE + wide shuffles are essential at
         # corpus scale (skew-join splitting, runtime coalesce) but at small
         # wave sizes each AQE stage re-plan adds ~1s of fixed latency — a
@@ -143,10 +151,12 @@ class Crawler:
                 break
             if max_results is not None and fetched_total >= max_results:
                 break
-            state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
-            if state["frontier"].isEmpty():
+            if frontier_rows == 0:
                 break
-            small = prev_rows is None or prev_rows < 100_000
+            state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
+            if frontier_rows is None and state["frontier"].isEmpty():
+                break
+            small = prev_rows is None or prev_rows < 20_000
             spark.conf.set(
                 "spark.sql.adaptive.enabled", "false" if small else base_aqe
             )
@@ -174,19 +184,32 @@ class Crawler:
                 delays=self.delays,
                 first_touch_template=self.first_touch,
             )
-            # deltas first … (concurrent jobs; results populates the
-            # fetched/extracted caches that links also reads)
-            from concurrent.futures import ThreadPoolExecutor
+            # deltas first; wave metrics ride the results write as observed
+            # aggregates — no extra job.
+            from pyspark.sql import Observation
 
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f1 = ex.submit(self.deltas.append, wave, "crawl_results", out.results)
-                f2 = ex.submit(self.deltas.append, wave, "links", out.links)
-                f1.result(), f2.result()
+            obs = Observation(f"wave_{wave}_metrics")
+            results_obs = out.results.observe(
+                obs,
+                F.count(F.lit(1)).alias("fetched"),
+                F.count(F.when(F.col("page_type") == "HTML", 1)).alias("html_pages"),
+                F.count(F.when(F.col("page_type") == "INVALID", 1)).alias("invalid"),
+                F.count(F.when(F.col("page_type") == "DISALLOWED", 1)).alias("disallowed"),
+                F.count(F.when(F.col("page_type") == "DUPLICATE", 1)).alias("duplicates"),
+                F.count(F.when(F.col("page_type") == "BINARY", 1)).alias("binary"),
+                F.approx_count_distinct("host").alias("hosts"),
+            )
+            # results first: its job materializes the fetched/extracted
+            # caches; links then reads them (parallel writes would race on
+            # the unmaterialized cache and each recompute the extraction)
+            self.deltas.append(wave, "crawl_results", results_obs)
+            self.deltas.append(wave, "links", out.links)
+            t_deltas = time.time()
             # … then the atomic state snapshot
             # append-only unions: seen_add/hashes_add/hosts_add are already
             # deduped against prior state inside run_wave (anti-joins /
             # first-wins windows), so no distinct() shuffle is needed here
-            self.store.commit_wave(
+            manifest = self.store.commit_wave(
                 wave + 1,
                 {
                     "frontier": out.pending_next,
@@ -194,42 +217,35 @@ class Crawler:
                     "seen_hashes": state["seen_hashes"].unionByName(out.hashes_add),
                     "known_hosts": state["known_hosts"].unionByName(out.hosts_add),
                 },
+                # frontier's write materializes the cand/new_frontier caches
+                # the other three state tables read — sequence it first
+                ordered=("frontier",),
             )
-            # wave metrics from the just-written delta (cheap re-read of
-            # one wave directory — not the whole log)
-            res = self.deltas.read_wave(spark, "crawl_results", wave)
-            # one job: rollup gives per-type counts plus the overall row
-            # (page_type NULL) carrying the distinct-host total
-            agg = res.rollup("page_type").agg(
-                F.count(F.lit(1)).alias("count"),
-                F.approx_count_distinct("host").alias("hosts"),
-            ).collect()
-            counts = {r["page_type"]: r["count"] for r in agg if r["page_type"] is not None}
-            n_hosts = next((r["hosts"] for r in agg if r["page_type"] is None), 0)
-            n_fetched = sum(counts.values())
+            frontier_rows = _lineage_rows(manifest, "frontier")
+            mvals = obs.get
+            n_fetched = mvals["fetched"]
             fetched_total += n_fetched
             metrics = {
                 "wave": wave,
-                "hosts": n_hosts,
+                "hosts": mvals["hosts"],
                 "fetched": n_fetched,
-                "html_pages": counts.get("HTML", 0),
-                "invalid": counts.get("INVALID", 0),
-                "disallowed": counts.get("DISALLOWED", 0),
-                "duplicates": counts.get("DUPLICATE", 0),
-                "binary": counts.get("BINARY", 0),
+                "html_pages": mvals["html_pages"],
+                "invalid": mvals["invalid"],
+                "disallowed": mvals["disallowed"],
+                "duplicates": mvals["duplicates"],
+                "binary": mvals["binary"],
                 "elapsed_sec": round(time.time() - t0, 3),
+                "deltas_sec": round(t_deltas - t0, 3),
+                "snapshot_sec": round(time.time() - t_deltas, 3),
             }
-            self.deltas.append(
-                wave, "metrics", spark.createDataFrame([metrics])
-            )
+            # one tiny row — written driver-side (pyarrow), no Spark job
+            self.deltas.append_local(wave, "metrics", [metrics])
             stats.per_wave.append(metrics)
             stats.waves += 1
             stats.fetched = fetched_total
             spark.catalog.clearCache()
             prev_rows = n_fetched
             wave += 1
-            if n_fetched == 0 and out.pending_next.isEmpty():
-                break
         spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         return stats
@@ -257,3 +273,7 @@ def _empty_hosts(spark: SparkSession) -> DataFrame:
 def _count_fetched(deltas: DeltaLog, spark: SparkSession) -> int:
     df = deltas.read_all(spark, "crawl_results")
     return 0 if df is None else df.count()
+
+
+def _lineage_rows(manifest: dict, table: str) -> int:
+    return sum(e["rows"] for e in manifest["lineage"][table])

@@ -55,8 +55,19 @@ class SnapshotStore:
         return best
 
     # --------------------------------------------------------------- commit
-    def commit_wave(self, wave: int, tables: dict[str, DataFrame], extra_meta: dict | None = None) -> dict:
-        """Atomically write all state tables for `wave`. Returns manifest."""
+    def commit_wave(
+        self,
+        wave: int,
+        tables: dict[str, DataFrame],
+        extra_meta: dict | None = None,
+        ordered: tuple[str, ...] = (),
+    ) -> dict:
+        """Atomically write all state tables for `wave`. Returns manifest.
+
+        ``ordered`` names are written first, sequentially — use it for the
+        table whose write materializes a cache the other tables read
+        (concurrent jobs racing on an unmaterialized cache each recompute
+        the full lineage; sequencing the producer makes the rest cheap)."""
         final = self._wave_dir(wave)
         staging = final + ".staging"
         if os.path.exists(staging):
@@ -76,9 +87,15 @@ class SnapshotStore:
             # per-partition lineage: parquet part-file row counts
             return name, _partition_rowcounts(path)
 
-        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
-            for name, counts in ex.map(_write, tables.items()):
-                lineage[name] = counts
+        for name in ordered:
+            if name in tables:
+                n, counts = _write((name, tables[name]))
+                lineage[n] = counts
+        rest = [(n, df) for n, df in tables.items() if n not in ordered]
+        if rest:
+            with ThreadPoolExecutor(max_workers=len(rest)) as ex:
+                for name, counts in ex.map(_write, rest):
+                    lineage[name] = counts
         manifest = {
             "wave": wave,
             "committed_at": time.time(),
@@ -131,6 +148,25 @@ class DeltaLog:
         if os.path.exists(final):
             shutil.rmtree(final)
         df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
+
+    def append_local(self, wave: int, name: str, rows: list[dict]) -> None:
+        """Driver-side append for tiny control-plane rows (wave metrics):
+        same directory layout and atomic rename as ``append``, but written
+        with pyarrow directly — no Spark job for a 1-row table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        final = os.path.join(self.root, name, f"wave={wave:06d}")
+        staging = final + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(staging)
+        pq.write_table(
+            pa.Table.from_pylist(rows), os.path.join(staging, "part-00000.parquet")
+        )
         os.rename(staging, final)
 
     def read_wave(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
