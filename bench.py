@@ -48,10 +48,16 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
     )
     work = tempfile.mkdtemp(prefix="ieps_bench_")
     try:
-        # untimed setup: materialize the synthetic web as a real table scan
-        # (the production input is an Iceberg pages table, not an expression)
-        pages_expr.write.mode("overwrite").parquet(f"{work}/corpus")
-        pages = spark.read.parquet(f"{work}/corpus")
+        # untimed setup: materialize the synthetic web as a bucketed+sorted
+        # table — the parquet stand-in for an Iceberg corpus with a
+        # bucket(url) partition transform. The per-wave fetch join then
+        # shuffles ONLY the frontier batch; the corpus html never moves.
+        (
+            pages_expr.write.mode("overwrite")
+            .bucketBy(64, "url").sortBy("url")
+            .saveAsTable("bench_corpus")
+        )
+        pages = spark.table("bench_corpus")
         n_pages = pages.count()
 
         # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
@@ -114,7 +120,11 @@ def main() -> None:
     spark = get_spark(
         "ieps_crawler_bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # static conf: home for the bucketed bench_corpus table
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ieps_wh_"),
+        },
     )
 
     only = {s for s in args.only.split(",") if s}

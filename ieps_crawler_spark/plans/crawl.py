@@ -60,6 +60,7 @@ class Crawler:
         wave_seconds: int = 60,
         use_bloom: bool = False,
         bloom_shards: int = 8,
+        broadcast_fetch: bool = False,
     ):
         self.spark = spark
         self.pages = pages
@@ -70,6 +71,13 @@ class Crawler:
         self.wave_seconds = wave_seconds
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        # fetch strategy: the default shuffled join relies on the corpus
+        # being bucketed by url (Iceberg bucket transform / parquet
+        # bucketBy) so only the batch side shuffles; broadcast_fetch=True
+        # instead streams an unbucketed corpus against a broadcast of the
+        # wave batch — use it when the corpus layout can't be chosen and
+        # wave batches stay broadcast-sized.
+        self.broadcast_fetch = broadcast_fetch
         # static per-crawl dims: robots delays + first-touch (root/sitemap)
         # rows. Materialized to parquet ONCE so the sitemap-parse and
         # canonicalize UDFs never re-run per wave and the per-wave plans
@@ -99,7 +107,7 @@ class Crawler:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        self.store.commit_wave(
+        manifest = self.store.commit_wave(
             0,
             {
                 "frontier": pending,
@@ -107,8 +115,9 @@ class Crawler:
                 "seen_hashes": spark.createDataFrame([], "content_hash string"),
                 "known_hosts": new_hosts,
             },
+            ordered=("frontier",),
         )
-        return 0
+        return 0, _lineage_rows(manifest, "frontier")
 
     # ------------------------------------------------------------------- run
     def run(
@@ -119,33 +128,32 @@ class Crawler:
         resume: bool = False,
     ) -> CrawlStats:
         spark = self.spark
+        # frontier size comes from the commit manifest's lineage row counts
+        # (written at snapshot time) — no extra isEmpty()/count() job per
+        # wave; it also drives the small-wave gearbox below
         if resume:
             wave = self.store.latest_wave()
             if wave is None:
                 raise ValueError("nothing to resume from")
             self.deltas.truncate_after(wave - 1)
-        else:
-            assert seeds, "seeds required for a fresh crawl"
-            wave = self._init_state(seeds)
-
-        stats = CrawlStats()
-        fetched_total = _count_fetched(self.deltas, spark)
-        # frontier emptiness comes from the commit manifest's lineage row
-        # counts (written at snapshot time) — no extra isEmpty() job per wave
-        frontier_rows = None
-        if resume:
             try:
                 frontier_rows = _lineage_rows(self.store.manifest(wave), "frontier")
             except (FileNotFoundError, KeyError):
                 frontier_rows = None
+        else:
+            assert seeds, "seeds required for a fresh crawl"
+            wave, frontier_rows = self._init_state(seeds)
+
+        stats = CrawlStats()
+        fetched_total = _count_fetched(self.deltas, spark)
         # adaptive-execution gearbox: AQE + wide shuffles are essential at
         # corpus scale (skew-join splitting, runtime coalesce) but at small
         # wave sizes each AQE stage re-plan adds ~1s of fixed latency — a
         # 3x wall-clock tax measured at sf0.001. Switch per wave on the
-        # previous wave's row volume; both confs are runtime-settable.
+        # current frontier size (known from the snapshot manifest's lineage
+        # counts); both confs are runtime-settable.
         base_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         base_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
-        prev_rows = None
         while True:
             if max_waves is not None and wave >= max_waves:
                 break
@@ -156,7 +164,7 @@ class Crawler:
             state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
             if frontier_rows is None and state["frontier"].isEmpty():
                 break
-            small = prev_rows is None or prev_rows < 20_000
+            small = frontier_rows is not None and frontier_rows < 20_000
             spark.conf.set(
                 "spark.sql.adaptive.enabled", "false" if small else base_aqe
             )
@@ -183,6 +191,8 @@ class Crawler:
                 bloom=bloom,
                 delays=self.delays,
                 first_touch_template=self.first_touch,
+                broadcast_fetch=self.broadcast_fetch
+                and (frontier_rows is None or frontier_rows <= 5_000_000),
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.
@@ -244,7 +254,6 @@ class Crawler:
             stats.waves += 1
             stats.fetched = fetched_total
             spark.catalog.clearCache()
-            prev_rows = n_fetched
             wave += 1
         spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)

@@ -181,6 +181,7 @@ def run_wave(
     bloom: DataFrame | None = None,
     delays: DataFrame | None = None,
     first_touch_template: DataFrame | None = None,
+    broadcast_fetch: bool = False,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -190,14 +191,41 @@ def run_wave(
         delays = host_delays(sites)
     batch, leftover = select_budget(pending, delays, wave, wave_seconds)
 
-    # ---- 2. robots gate (broadcast dim + Arrow UDF) ----------------------
-    batch = batch.join(
-        F.broadcast(sites.select("host", "robots_content")), "host", "left"
-    ).withColumn("allowed", robots_allowed_udf("canon_url", "robots_content"))
-
-    # ---- 3. fetch = frontier ⋈ corpus (left join; missing → 404) ---------
+    # ---- 2. fetch = corpus ⋈ broadcast(batch) (missing → 404) ------------
+    # The corpus side is the 100 TB table — it must NEVER shuffle (a plain
+    # frontier-left-outer join sort-merges BOTH sides, moving every html
+    # byte of the corpus every wave; the left-outer shape also forbids
+    # broadcasting the small side). Instead: stream the corpus in place
+    # against a broadcast of the (slim, html-less) batch — one corpus scan,
+    # zero corpus shuffle — then recover the 404 misses with a broadcast
+    # anti-join against the hit keys. Both broadcasts are politeness-batch-
+    # sized (bounded by the wave budget), never corpus-sized. On a cluster
+    # where a wave batch outgrows broadcast limits, bucket the Iceberg
+    # corpus by url hash instead: a storage-partitioned join gives the same
+    # no-corpus-shuffle property (broadcast_fetch=False keeps the shuffled
+    # join for that layout).
     corpus = pages.select(F.col("url").alias("canon_url"), "html")
-    fetched = batch.join(corpus, "canon_url", "left")
+    if broadcast_fetch:
+        batch.cache()  # consumed by the fetch join, miss anti-join, union
+        hits = corpus.join(F.broadcast(batch), "canon_url", "inner")
+        hits.cache()  # consumed by the miss anti-join and the union
+        miss = batch.join(
+            F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
+        )
+        fetched = hits.unionByName(
+            miss.withColumn("html", F.lit(None).cast("binary"))
+        )
+    else:
+        fetched = batch.join(corpus, "canon_url", "left")
+
+    # ---- 3. robots gate (broadcast dim + Arrow UDF) ----------------------
+    fetched = (
+        fetched.join(
+            F.broadcast(sites.select("host", "robots_content")), "host", "left"
+        )
+        .withColumn("allowed", robots_allowed_udf("canon_url", "robots_content"))
+        .drop("robots_content")
+    )
 
     # ---- 4. status + content hash (JVM-side) -----------------------------
     fetched = fetched.withColumn(
@@ -213,7 +241,33 @@ def run_wave(
         ),
     )
 
-    # ---- 5. duplicate marking (first-wins, cross- and intra-wave) --------
+    # ---- 5. extraction fused into the fetch stage ------------------------
+    # The html bytes die HERE, inside the same stage as the corpus join:
+    # one Arrow pass computes (text, links) for HTML candidates (null html
+    # short-circuits in the UDF), and every downstream consumer sees only
+    # the slim projection. Caching anything html-bearing is a trap — the
+    # columnar cache re-encodes/compresses the blobs, which measured 5-10x
+    # the cost of the whole join at bench scale.
+    is_cand = (
+        F.col("allowed") & F.col("html").isNotNull() & (F.col("data_type") == 0)
+    )
+    staged = fetched.withColumn(
+        "_page", extract_page_udf(F.when(is_cand, F.col("html")), "host")
+    ).select(
+        "canon_url",
+        "host",
+        "data_type",
+        "wave",
+        "fetch_order",
+        "sched_ts",
+        "http_status",
+        "content_hash",
+        "allowed",
+        F.col("_page.text").alias("text"),
+        F.col("_page.links").alias("links"),
+    )
+
+    # ---- 6. duplicate marking (first-wins, cross- and intra-wave) --------
     # global deterministic order inside a wave = (host, fetch_order) —
     # matching the simulator's sorted-host sweep.
     # only allowed HTML-candidate rows participate in hash ranking — binary
@@ -222,11 +276,11 @@ def run_wave(
     eligible = (
         F.col("allowed") & (F.col("data_type") == 0) & F.col("content_hash").isNotNull()
     )
-    fetched = fetched.withColumn("_dup_key", F.when(eligible, F.col("content_hash")))
+    staged = staged.withColumn("_dup_key", F.when(eligible, F.col("content_hash")))
     dup_w = Window.partitionBy("_dup_key").orderBy("host", "fetch_order")
     prior = seen_hashes.select(F.col("content_hash").alias("_prior_hash"))
-    fetched = (
-        fetched.withColumn("_rn", F.when(eligible, F.row_number().over(dup_w)))
+    staged = (
+        staged.withColumn("_rn", F.when(eligible, F.row_number().over(dup_w)))
         .drop("_dup_key")
         .join(
             prior,
@@ -236,10 +290,10 @@ def run_wave(
         .withColumn("_hash_seen", F.col("_prior_hash").isNotNull())
         .drop("_prior_hash")
     )
-    fetched = fetched.withColumn(
+    staged = staged.withColumn(
         "page_type",
         F.when(~F.col("allowed"), F.lit("DISALLOWED"))
-        .when(F.col("html").isNull(), F.lit("INVALID"))
+        .when(F.col("http_status") == 404, F.lit("INVALID"))
         .when(
             (F.col("data_type") == 0) & (F.col("_hash_seen") | (F.col("_rn") > 1)),
             F.lit("DUPLICATE"),
@@ -252,50 +306,12 @@ def run_wave(
         .when(F.col("data_type") == 1, F.lit("IMG"))
         .otherwise(F.lit("DATA")),
     )
-    # fetched feeds both the HTML-extract branch and the non-HTML branch,
-    # and each downstream sink triggers its own action — cache to run the
-    # corpus join + dup windows once per wave (html bytes are dropped at
-    # the very next projection, so the cached block stays small-ish and is
-    # freed by the driver's per-wave clearCache())
-    fetched.cache()
+    # staged feeds results, link edges, frontier candidates and hash adds —
+    # cache once, post-classification, html-free (freed by the driver's
+    # per-wave clearCache())
+    staged.cache()
 
-    # ---- 6. extraction (single Arrow pass over HTML originals only) ------
-    html_rows = fetched.filter(F.col("page_type") == "HTML").withColumn(
-        "_page", extract_page_udf("html", "host")
-    )
-    extracted = html_rows.select(
-        "canon_url",
-        "host",
-        "data_type",
-        "wave",
-        "fetch_order",
-        "sched_ts",
-        "http_status",
-        "content_hash",
-        "kind",
-        "page_type",
-        F.col("_page.text").alias("text"),
-        F.col("_page.links").alias("links"),
-    )
-    extracted.cache()  # reused for results, children, links, hashes
-
-    non_html = fetched.filter(F.col("page_type") != "HTML").select(
-        "canon_url",
-        "host",
-        "data_type",
-        "wave",
-        "fetch_order",
-        "sched_ts",
-        "http_status",
-        "content_hash",
-        "kind",
-        "page_type",
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("array<struct<url:string,kind:string,pos:int>>").alias("links"),
-    )
-
-    all_rows = extracted.unionByName(non_html)
-    results = all_rows.select(
+    results = staged.select(
         F.col("canon_url").alias("url"),
         "host",
         "kind",
@@ -305,13 +321,16 @@ def run_wave(
         F.lit(wave).alias("wave"),
         "fetch_order",
         "sched_ts",
-        "text",
+        # DUPLICATE rows store the link only, never their parse output
+        # (DomainWorkerActor.scala:165-171)
+        F.when(F.col("page_type") == "HTML", F.col("text")).alias("text"),
         F.when(
             F.col("page_type") == "BINARY", con_type_udf("canon_url")
         ).alias("data_type_code"),
     )
 
     # ---- 7. children: explode links → link edges + frontier candidates ---
+    extracted = staged.filter(F.col("page_type") == "HTML")
     children = extracted.select(
         F.col("canon_url").alias("parent_url"),
         F.col("host").alias("parent_host"),

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter pushdown: a semi-join filter built from the
+        # small join side prunes the big side's scan before the shuffle —
+        # on a bucketed/sorted corpus the fetch join then touches only the
+        # row groups that can contain batch urls
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
