@@ -41,7 +41,7 @@ def _time_noop(spark, fn, sf_dir: str) -> float:
 def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
                 n_seeds: int, max_waves: int) -> dict:
     from ieps_crawler_spark.plans.crawl import Crawler
-    from ieps_crawler_spark.webgen import web_from_documents
+    from ieps_crawler_spark.webgen import seeds_df, web_from_documents
 
     pages_expr, sites, seeds = web_from_documents(
         spark, sf_dir, replicate=replicate, n_hosts=n_hosts, n_seeds=n_seeds
@@ -72,14 +72,20 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
         crawler = Crawler(
             spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000
         )
-        stats = crawler.run(seeds=seeds, max_waves=max_waves)
+        sdf = seeds_df(spark, n_pages, n_hosts, n_seeds)
+        stats = crawler.run(seeds=sdf, max_waves=max_waves)
         elapsed = time.time() - t0
+        # throughput over wave time: the steady-state crawl rate the
+        # BASELINE metric asks for (seed-table init is a one-time cost,
+        # reported separately via sec vs wave_sec)
+        wave_sec = sum(m["elapsed_sec"] for m in stats.per_wave) or elapsed
         return {
             "sec": round(elapsed, 3),
+            "wave_sec": round(wave_sec, 3),
             "urls": stats.fetched,
             "waves": stats.waves,
             "corpus_pages": n_pages,
-            "urls_per_sec": round(stats.fetched / elapsed, 1),
+            "urls_per_sec": round(stats.fetched / wave_sec, 1),
             "per_wave": [
                 {
                     "fetched": m["fetched"],

@@ -7,12 +7,17 @@ tiny aggregate counts. Each wave:
 
     state(wave k) --run_wave--> deltas + state(wave k+1) --commit-->
 
-State tables (frontier, seen, seen_hashes, known_hosts) are rewritten
-per wave and re-read from parquet — this both truncates lineage (no
-ever-growing plan) and IS the checkpoint. Deltas (crawl_results, links,
-metrics) append per wave. Commit order: deltas first, snapshot last
-(atomic rename) — a crash between the two leaves orphan deltas that
-resume truncates (DeltaLog.truncate_after), so the resumed run is
+The frontier is rewritten per wave (it genuinely changes) and re-read
+from parquet — this both truncates lineage (no ever-growing plan) and IS
+the checkpoint. The seen/seen_hashes/known_hosts sets are APPEND-ONLY:
+each wave appends only its additions (``seen_add[k]`` = URLs enqueued
+into frontier[k]) and readers union the add-deltas — at 10^10-URL scale
+rewriting a seen set per wave would dwarf the crawl itself. Deltas
+(crawl_results, links, metrics) append per wave. Commit order: deltas
+first (including the adds), frontier snapshot last (atomic rename) — a
+crash between the two leaves orphan deltas that resume truncates
+(DeltaLog.truncate_after; results[k] is cut at snapshot k, adds at k+1
+since snapshot k+1 implies adds[k+1]), so the resumed run is
 byte-identical to an uninterrupted one (tested in test_resume.py).
 
 The reference's equivalents: BigQueue flush+gc (queue/Queue.scala:10),
@@ -39,7 +44,7 @@ from .wave import (
     seed_frontier,
 )
 
-STATE_TABLES = ("frontier", "seen", "seen_hashes", "known_hosts")
+ADD_TABLES = ("seen_add", "hashes_add", "hosts_add")
 
 
 @dataclass
@@ -91,7 +96,7 @@ class Crawler:
         self.first_touch = spark.read.parquet(f"{dims_dir}/first_touch")
 
     # ------------------------------------------------------------------ init
-    def _init_state(self, seeds: list[str]) -> int:
+    def _init_state(self, seeds: list[str] | DataFrame) -> tuple[int, int]:
         spark = self.spark
         triggers = seed_frontier(spark, seeds)
         injected, new_hosts = inject_first_touch(
@@ -107,22 +112,20 @@ class Crawler:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        manifest = self.store.commit_wave(
-            0,
-            {
-                "frontier": pending,
-                "seen": pending.select("canon_url"),
-                "seen_hashes": spark.createDataFrame([], "content_hash string"),
-                "known_hosts": new_hosts,
-            },
-            ordered=("frontier",),
+        pending.cache()  # consumed by the seen_add delta and the snapshot
+        # adds first, snapshot last (same crash-consistency order as waves)
+        self.deltas.append(0, "seen_add", pending.select("canon_url"))
+        self.deltas.append(
+            0, "hashes_add", spark.createDataFrame([], "content_hash string")
         )
+        self.deltas.append(0, "hosts_add", new_hosts)
+        manifest = self.store.commit_wave(0, {"frontier": pending})
         return 0, _lineage_rows(manifest, "frontier")
 
     # ------------------------------------------------------------------- run
     def run(
         self,
-        seeds: list[str] | None = None,
+        seeds: list[str] | DataFrame | None = None,
         max_waves: int | None = None,
         max_results: int | None = None,
         resume: bool = False,
@@ -135,13 +138,19 @@ class Crawler:
             wave = self.store.latest_wave()
             if wave is None:
                 raise ValueError("nothing to resume from")
-            self.deltas.truncate_after(wave - 1)
+            # results[k]/links[k]/metrics[k] are written during wave k —
+            # valid only if snapshot k+1 landed; adds[k] belong to
+            # snapshot k. Different cutoffs, same invariant.
+            self.deltas.truncate_after(
+                wave - 1, tables=("crawl_results", "links", "metrics")
+            )
+            self.deltas.truncate_after(wave, tables=ADD_TABLES)
             try:
                 frontier_rows = _lineage_rows(self.store.manifest(wave), "frontier")
             except (FileNotFoundError, KeyError):
                 frontier_rows = None
         else:
-            assert seeds, "seeds required for a fresh crawl"
+            assert seeds is not None, "seeds required for a fresh crawl"
             wave, frontier_rows = self._init_state(seeds)
 
         stats = CrawlStats()
@@ -161,7 +170,13 @@ class Crawler:
                 break
             if frontier_rows == 0:
                 break
-            state = {t: self.store.read(spark, wave, t) for t in STATE_TABLES}
+            state = {
+                "frontier": self.store.read(spark, wave, "frontier"),
+                # append-only sets: one recursive scan over the add-deltas
+                "seen": self.deltas.read_all(spark, "seen_add"),
+                "seen_hashes": self.deltas.read_all(spark, "hashes_add"),
+                "known_hosts": self.deltas.read_all(spark, "hosts_add"),
+            }
             if frontier_rows is None and state["frontier"].isEmpty():
                 break
             small = frontier_rows is not None and frontier_rows < 20_000
@@ -215,21 +230,17 @@ class Crawler:
             self.deltas.append(wave, "crawl_results", results_obs)
             self.deltas.append(wave, "links", out.links)
             t_deltas = time.time()
-            # … then the atomic state snapshot
-            # append-only unions: seen_add/hashes_add/hosts_add are already
-            # deduped against prior state inside run_wave (anti-joins /
-            # first-wins windows), so no distinct() shuffle is needed here
+            # … then the state adds (already deduped against prior state
+            # inside run_wave via anti-joins / first-wins windows — each
+            # wave appends ONLY its additions, nothing is rewritten).
+            # seen_add first: its write materializes the new_frontier cache
+            # the other adds and the frontier snapshot read.
+            self.deltas.append(wave + 1, "seen_add", out.seen_add)
+            self.deltas.append(wave + 1, "hashes_add", out.hashes_add)
+            self.deltas.append(wave + 1, "hosts_add", out.hosts_add)
+            # … and the frontier snapshot last (the commit point)
             manifest = self.store.commit_wave(
-                wave + 1,
-                {
-                    "frontier": out.pending_next,
-                    "seen": state["seen"].unionByName(out.seen_add),
-                    "seen_hashes": state["seen_hashes"].unionByName(out.hashes_add),
-                    "known_hosts": state["known_hosts"].unionByName(out.hosts_add),
-                },
-                # frontier's write materializes the cand/new_frontier caches
-                # the other three state tables read — sequence it first
-                ordered=("frontier",),
+                wave + 1, {"frontier": out.pending_next}
             )
             frontier_rows = _lineage_rows(manifest, "frontier")
             mvals = obs.get
@@ -272,7 +283,7 @@ class Crawler:
         return self.deltas.read_all(self.spark, "metrics")
 
     def seen(self) -> DataFrame:
-        return self.store.read(self.spark, self.store.latest_wave(), "seen")
+        return self.deltas.read_all(self.spark, "seen_add")
 
 
 def _empty_hosts(spark: SparkSession) -> DataFrame:

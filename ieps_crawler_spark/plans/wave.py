@@ -52,11 +52,32 @@ class WaveOutput:
     hosts_add: DataFrame  # hosts first touched this wave
 
 
-def seed_frontier(spark, seeds: list[str]) -> DataFrame:
+def seed_frontier(spark, seeds: list[str] | DataFrame) -> DataFrame:
     """Wave-0 trigger rows (group 1, local = seed position). The crawl
     driver applies inject_first_touch to these before wave 0 runs, so the
     seed hosts get their [root] + seeds + [sitemap] enqueue order exactly
-    like any host first touched mid-crawl."""
+    like any host first touched mid-crawl.
+
+    ``seeds`` is either a Python list (the reference's 9-URL case,
+    CrawlerApp.scala:26-36) or a DataFrame with columns (url, pos) — the
+    scalable path for seed lists that are themselves tables (a 10^10
+    crawl seeds from a table, not a driver-side list)."""
+    if isinstance(seeds, DataFrame):
+        return (
+            seeds.withColumn("canon_url", canonicalize_udf("url"))
+            .filter(F.col("canon_url").isNotNull())
+            .select(
+                "canon_url",
+                extract_domain_udf("canon_url").alias("host"),
+                F.lit(0).alias("data_type"),
+                F.lit(None).cast("string").alias("ref_url"),
+                F.lit(0).alias("wave"),
+                F.lit(0).alias("priority"),
+                (F.lit(GROUP_LINK << _GROUP_SHIFT) + F.col("pos"))
+                .cast("long")
+                .alias("enq_seq"),
+            )
+        )
     from ..functions.canon import extract_domain, get_canonical
 
     rows = []
@@ -276,17 +297,31 @@ def run_wave(
     eligible = (
         F.col("allowed") & (F.col("data_type") == 0) & F.col("content_hash").isNotNull()
     )
-    staged = staged.withColumn("_dup_key", F.when(eligible, F.col("content_hash")))
+    # ineligible rows must NOT share a window key: a null key would hash
+    # every INVALID/BINARY/DISALLOWED row of the wave into ONE window
+    # partition — a single-task sort proportional to wave size (measured:
+    # the whole pipeline stopped scaling past 8 cores). A per-row unique
+    # key gives them 1-row partitions; their rank is masked to null below.
+    staged = staged.withColumn(
+        "_dup_key",
+        F.when(eligible, F.col("content_hash")).otherwise(
+            F.concat(F.lit("\0"), F.col("canon_url"))
+        ),
+    )
     dup_w = Window.partitionBy("_dup_key").orderBy("host", "fetch_order")
     prior = seen_hashes.select(F.col("content_hash").alias("_prior_hash"))
     staged = (
         staged.withColumn("_rn", F.when(eligible, F.row_number().over(dup_w)))
-        .drop("_dup_key")
+        # join the prior-hash set on the same surrogate key: null hashes
+        # would otherwise pile into one shuffle partition here too (the
+        # "\0" prefix can never match a real hex hash, so null-hash rows
+        # simply pass through the left join, evenly distributed)
         .join(
             prior,
-            F.col("content_hash") == F.col("_prior_hash"),
+            F.col("_dup_key") == F.col("_prior_hash"),
             "left",
         )
+        .drop("_dup_key")
         .withColumn("_hash_seen", F.col("_prior_hash").isNotNull())
         .drop("_prior_hash")
     )

@@ -183,9 +183,13 @@ class DeltaLog:
         ]
         return spark.read.parquet(*dirs)
 
-    def truncate_after(self, wave: int) -> None:
-        """Resume support: drop deltas newer than `wave` (uncommitted)."""
+    def truncate_after(self, wave: int, tables: tuple[str, ...] | None = None) -> None:
+        """Resume support: drop deltas newer than `wave` (uncommitted).
+        ``tables`` limits the cut to the named delta tables — per-wave
+        deltas and append-only state adds have different valid cutoffs."""
         for name in os.listdir(self.root):
+            if tables is not None and name not in tables:
+                continue
             base = os.path.join(self.root, name)
             for d in list(os.listdir(base)):
                 w = d.split("=", 1)[1].split(".")[0]

@@ -97,3 +97,27 @@ def web_from_documents(
         if i < total
     ]
     return pages, sites, seeds
+
+
+def seeds_df(
+    spark: SparkSession, total: int, n_hosts: int, n_seeds: int
+) -> DataFrame:
+    """DataFrame twin of the seed list above ((url, pos) rows) — the
+    scalable seed path: a 10^6+-URL seed set is a table, not a driver-side
+    Python list."""
+    stride = max(1, total // max(n_seeds, 1)) if n_seeds > 3 else 1
+    i = F.col("id") * stride
+    return (
+        spark.range(n_seeds)
+        .filter(i < total)
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod(i * i + i, F.lit(n_hosts)).cast("string"),
+                F.lit(".gov.si/d"),
+                i.cast("string"),
+                F.lit("/"),
+            ).alias("url"),
+            F.col("id").alias("pos"),
+        )
+    )
