@@ -224,21 +224,20 @@ class Crawler:
                 F.count(F.when(F.col("page_type") == "BINARY", 1)).alias("binary"),
                 F.approx_count_distinct("host").alias("hosts"),
             )
-            # results first: its job materializes the fetched/extracted
-            # caches; links then reads them (parallel writes would race on
-            # the unmaterialized cache and each recompute the extraction)
+            # Write ordering = cache-dependency order (concurrent writes
+            # measured slower — interleaved jobs trash cache locality):
+            # results materializes the staged cache; links + hashes_add
+            # read it; seen_add materializes the cand/new_frontier caches;
+            # hosts_add + the frontier snapshot read only materialized
+            # caches. Adds always land before the frontier snapshot (the
+            # commit point) for crash consistency; each wave appends ONLY
+            # its additions.
             self.deltas.append(wave, "crawl_results", results_obs)
             self.deltas.append(wave, "links", out.links)
             t_deltas = time.time()
-            # … then the state adds (already deduped against prior state
-            # inside run_wave via anti-joins / first-wins windows — each
-            # wave appends ONLY its additions, nothing is rewritten).
-            # seen_add first: its write materializes the new_frontier cache
-            # the other adds and the frontier snapshot read.
             self.deltas.append(wave + 1, "seen_add", out.seen_add)
             self.deltas.append(wave + 1, "hashes_add", out.hashes_add)
             self.deltas.append(wave + 1, "hosts_add", out.hosts_add)
-            # … and the frontier snapshot last (the commit point)
             manifest = self.store.commit_wave(
                 wave + 1, {"frontier": out.pending_next}
             )

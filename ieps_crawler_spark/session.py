@@ -29,7 +29,9 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        # 2x core count: the classic sizing — finer tasks smooth stragglers
+        # from skewed partitions; AQE coalesces them back when small
+        shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a production crawl run.
+
+Reads the pages corpus (Iceberg table name or parquet path), the sites
+dim, and a seed table/list; runs the BFS crawl with per-wave atomic
+checkpointing; resumable with --resume. Shipped to executors via
+`tools/submit.sh` (--py-files zip of ieps_crawler_spark).
+
+Examples
+--------
+Local smoke:
+    spark-submit --master 'local[8]' tools/crawl_job.py \
+        --corpus /data/pages.parquet --sites /data/sites.parquet \
+        --seeds http://example.gov.si/ --ckpt /tmp/ckpt --waves 5
+
+Cluster (Iceberg):
+    tools/submit.sh --master yarn --num-executors 200 -- \
+        --corpus iceberg_catalog.crawl.pages \
+        --sites iceberg_catalog.crawl.sites \
+        --seed-table iceberg_catalog.crawl.seeds \
+        --ckpt hdfs:///crawl/ckpt --waves 50 --wave-seconds 600
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def _read(spark: SparkSession, ref: str):
+    """Iceberg/catalog table name, or a parquet path (contains '/')."""
+    if "/" in ref:
+        return spark.read.parquet(ref)
+    return spark.table(ref)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True,
+                    help="pages table: (url, warc_ts, html, text, lang)")
+    ap.add_argument("--sites", required=True,
+                    help="sites dim: (host, robots_content, sitemap_content)")
+    ap.add_argument("--seeds", nargs="*", default=[],
+                    help="seed URLs (small lists)")
+    ap.add_argument("--seed-table", default=None,
+                    help="seed table with (url, pos) — the scalable path")
+    ap.add_argument("--ckpt", required=True, help="checkpoint root dir")
+    ap.add_argument("--waves", type=int, default=None)
+    ap.add_argument("--wave-seconds", type=int, default=600)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bloom", action="store_true",
+                    help="enable the sharded Bloom pre-filter for seen-dedup")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("ieps_crawler_spark").getOrCreate()
+    from ieps_crawler_spark.plans.crawl import Crawler
+
+    crawler = Crawler(
+        spark,
+        _read(spark, args.corpus),
+        _read(spark, args.sites),
+        None,
+        args.ckpt,
+        wave_seconds=args.wave_seconds,
+        use_bloom=args.bloom,
+    )
+    if args.resume:
+        stats = crawler.run(resume=True, max_waves=args.waves)
+    else:
+        seeds = _read(spark, args.seed_table) if args.seed_table else args.seeds
+        stats = crawler.run(seeds=seeds, max_waves=args.waves)
+    for m in stats.per_wave:
+        print(m)
+    print(f"waves={stats.waves} fetched={stats.fetched}")
+
+
+if __name__ == "__main__":
+    main()
