@@ -451,6 +451,35 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------- graph ops
+
+def _toy_edges(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(1000)).alias("from_id"),
+        F.pmod(F.col("l_partkey"), F.lit(1000)).alias("to_id"),
+    ).dropDuplicates(["from_id", "to_id"])
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """O29 — DataFrame-iterative PageRank over the link graph (the
+    reference ran PageRank in Gephi over its link table,
+    report/report.tex:228-232); 3 fixed iterations, no dangling mass."""
+    from ieps_crawler_spark.operators.graph import pagerank
+
+    return pagerank(_toy_edges(spark, sf_dir), iterations=3).select(
+        "node_id", F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+def q_graph_components(spark, sf_dir):
+    """O29 — connected components via min-label propagation (rows-only:
+    iterative fixpoint, not expressible as one SQL query)."""
+    from ieps_crawler_spark.operators.graph import connected_components
+
+    return connected_components(_toy_edges(spark, sf_dir))
+
+
 # -------------------------------------------------------------- events ops
 
 def q_events_window_agg(spark, sf_dir):
@@ -526,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_lang_quality": q_text_lang_quality,
         "text_fingerprint": q_text_fingerprint,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "crawl_e2e": q_crawl_e2e,
@@ -784,6 +815,33 @@ def oracle_sql() -> dict[str, str]:
                    substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
                              1, 16) AS fp
             FROM documents
+        """,
+        "graph_pagerank": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+              FROM lineitem),
+            nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            deg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+            r0 AS (SELECT node_id, 1.0 AS pr FROM nodes),
+            r1 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r0 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id),
+            r2 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r1 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id),
+            r3 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r2 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id)
+            SELECT node_id, round(pr, 6) AS pagerank FROM r3
         """,
         "events_window_agg": r"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

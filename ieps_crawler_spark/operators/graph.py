@@ -1,0 +1,118 @@
+"""Offline link-graph analytics (SURVEY O29) — the reference computed
+node/edge counts, PageRank and connected components externally in Gephi
+over its `link` table (report/report.tex:228-232); here they are
+DataFrame-iterative jobs over the engine's `links` edges.
+
+Scale posture: each iteration is one shuffle (join on the edge key +
+groupBy on the destination); lineage is truncated per iteration via
+localCheckpoint-free re-aliasing since iteration counts are small and
+fixed. For web-scale graphs swap the driver loop for GraphFrames'
+pregel; the per-iteration plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def out_degrees(edges: DataFrame, src: str = "from_id", dst: str = "to_id") -> DataFrame:
+    return edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "from_id",
+    dst: str = "to_id",
+) -> DataFrame:
+    """Fixed-iteration simplified PageRank: rank0 = 1.0;
+    rank_{k+1}(v) = (1-d) + d * sum_{u->v} rank_k(u) / outdeg(u).
+    (No dangling-mass redistribution — matching the plain formulation, so
+    a SQL oracle can reproduce it exactly.) Returns (node_id, pagerank).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .unionByName(edges.select(F.col(dst).alias("node_id")))
+        .distinct()
+    )
+    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
+    ranked = nodes.withColumn("pagerank", F.lit(1.0))
+    # contribution edges carry 1/outdeg once — reused every iteration
+    contrib_edges = edges.join(
+        deg, edges[src] == deg["node_id"], "inner"
+    ).select(
+        F.col(src).alias("c_src"),
+        F.col(dst).alias("c_dst"),
+        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
+    )
+    contrib_edges.cache()
+    for _ in range(iterations):
+        incoming = (
+            contrib_edges.join(
+                ranked, contrib_edges["c_src"] == ranked["node_id"], "inner"
+            )
+            .select(
+                F.col("c_dst").alias("node_id"),
+                (F.col("pagerank") * F.col("inv_deg")).alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranked = nodes.join(incoming, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(1.0 - DAMPING)
+                + F.lit(DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("pagerank"),
+        )
+    return ranked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "from_id",
+    dst: str = "to_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the undirected graph; converges when no
+    label changes (checked via an aggregate per iteration). Returns
+    (node_id, component) where component = min node id reachable."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct()
+    sym.cache()
+    labels = (
+        sym.select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node_id"], "inner")
+            .groupBy("a")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = labels.join(
+            neighbor_min, labels["node_id"] == neighbor_min["a"], "left"
+        ).select(
+            "node_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+            ).alias("component"),
+        )
+        updated.cache()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -4,13 +4,17 @@ lifecycle / §7 step 5). Implements exactly the contract defined by
 enqueue-order rules — with Catalyst-friendly operators:
 
 frontier → politeness top-k (window rank ≤ budget)
+         → corpus join ("fetch": frontier ⋈ pages — the hot join; the
+           corpus side never shuffles: bucketed-by-url scan (Iceberg
+           bucket transform / parquet bucketBy) so only the batch moves,
+           or opt-in broadcast-of-batch for unbucketed corpora)
          → robots gate (broadcast sites dim + Arrow UDF)
-         → corpus join ("fetch": frontier ⋈ pages — the hot join; sort-merge
-           at scale with AQE skew splitting, never broadcast on the corpus
-           side)
          → status gate + sha2 content hash (JVM-side, whole-stage codegen)
-         → hash-dup marking (window first-wins + prior-hash anti-join)
-         → single-pass text+link extraction (Arrow UDF) → explode
+         → text+link extraction (Arrow UDF) fused into the fetch stage —
+           html dies there, nothing html-bearing is ever cached
+         → hash-dup marking (window first-wins + prior-hash join, unique
+           surrogate keys for ineligible rows so no NULL-key partition)
+         → explode links
          → URL-seen dedup (exact anti-join; optional sharded-Bloom routing)
          → first-touch injections (domain root + sitemap seeding)
          → next frontier with deterministic enq_seq

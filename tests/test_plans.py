@@ -1,0 +1,113 @@
+"""Physical-plan guardrails (SURVEY §4): the properties that make the
+operators scale must survive refactors — filter/column pushdown into
+scans, broadcast of dims, map-side partial aggregation, one shuffle per
+window. Checked via .explain('formatted') text, not execution."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_seen_antijoin_pushdown(spark, sf_dir):
+    import __spark_entry__ as e
+
+    p = plan(e.q_crawl_seen_antijoin(spark, sf_dir))
+    # column pruning reaches the parquet scan: only the 2 projected + join
+    # columns are read, not the whole part table
+    assert "p_partkey" in p and "p_retailprice" not in p
+    # the seen-set probe is a broadcast anti-join, not a shuffled one
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_point_lookup_filter_pushdown(spark, sf_dir):
+    import __spark_entry__ as e
+
+    p = plan(e.q_crawl_point_lookup(spark, sf_dir))
+    assert "PushedFilters: [In(o_orderkey" in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    import __spark_entry__ as e
+
+    p = plan(e.q_tpch_q1_agg(spark, sf_dir))
+    # map-side combine: two HashAggregates (partial below the exchange,
+    # final above) — exact label text varies with AQE formatting
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+    assert p.index("HashAggregate") < p.rindex("HashAggregate")
+
+
+def test_budget_single_host_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from ieps_crawler_spark.operators.politeness import host_delays, select_budget
+
+    fr = spark.createDataFrame(
+        [(f"http://h{i % 5}.gov.si/p{i}/", f"h{i % 5}", 0, None, 0, 0, i)
+         for i in range(100)],
+        "canon_url string, host string, data_type int, ref_url string, "
+        "wave int, priority int, enq_seq long",
+    )
+    sites = spark.createDataFrame(
+        [(f"h{i}", None, None) for i in range(5)],
+        "host string, robots_content string, sitemap_content string",
+    )
+    batch, _ = select_budget(fr, host_delays(sites), 0, 60)
+    # the window + exchange sit inside the cached relation's build plan —
+    # .explain elides it, the full queryExecution string does not
+    p = plan(batch) + batch._jdf.queryExecution().toString()
+    # politeness isolation: a single hash exchange on host feeding the
+    # rank window; the delays dim arrives by broadcast
+    assert "hashpartitioning(host" in p
+    assert "Window" in p and "BroadcastExchange" in p
+
+
+def test_fetch_join_no_corpus_shuffle(spark, tmp_path):
+    """The fetch join against a bucketed corpus must not exchange the
+    corpus side — only the frontier batch shuffles."""
+    from pyspark.sql import functions as F
+
+    corpus_rows = spark.range(1000).select(
+        F.concat(F.lit("http://h.gov.si/d"), F.col("id")).alias("url"),
+        F.encode(F.concat(F.lit("<html>"), F.col("id")), "UTF-8").alias("html"),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    name = "t_fetch_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        corpus_rows.write.mode("overwrite")
+        .option("path", str(tmp_path / "corpus"))
+        .bucketBy(4, "url").sortBy("url").saveAsTable(name)
+    )
+    corpus = spark.table(name).select(F.col("url").alias("canon_url"), "html")
+    batch = spark.range(100).select(
+        F.concat(F.lit("http://h.gov.si/d"), F.col("id") * 7).alias("canon_url")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(batch.join(corpus, "canon_url", "left"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    # bucketed side: scan feeds the sort-merge join without an Exchange.
+    # one shuffle exchange total = the batch side only
+    assert "SortMergeJoin" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "SelectedBucketsCount" in p
