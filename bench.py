@@ -123,15 +123,18 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(
-        "ieps_crawler_bench",
-        master=f"local[{cpus}]",
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            # static conf: home for the bucketed bench_corpus table
-            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ieps_wh_"),
-        },
-    )
+    # SPARK_GRAFT_MASTER overrides local[cpus] — e.g. a standalone cluster
+    # (spark://...) for real multi-executor N-vs-4N scaling runs; extra
+    # per-run conf (executor sizing, cores.max) arrives as JSON in
+    # SPARK_GRAFT_CONF
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        # static conf: home for the bucketed bench_corpus table
+        "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ieps_wh_"),
+    }
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_CONF", "{}")))
+    spark = get_spark("ieps_crawler_bench", master=master, extra_conf=extra)
 
     only = {s for s in args.only.split(",") if s}
     results: dict[str, float] = {}
