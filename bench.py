@@ -109,7 +109,7 @@ def main() -> None:
     ap.add_argument("--hosts", type=int,
                     default=int(os.environ.get("BENCH_HOSTS", "64")))
     ap.add_argument("--seeds", type=int,
-                    default=int(os.environ.get("BENCH_SEEDS", "1000")))
+                    default=int(os.environ.get("BENCH_SEEDS", "20000")))
     ap.add_argument("--waves", type=int,
                     default=int(os.environ.get("BENCH_WAVES", "12")))
     args = ap.parse_args()
