@@ -49,19 +49,48 @@ def select_budget(
     delays: DataFrame,
     wave: int,
     wave_seconds: int = 60,
+    salt_shards: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (batch, leftover). batch carries fetch_order (per-host rank),
-    delay_ms and sched_ts; leftover is the untouched pending remainder."""
+    delay_ms and sched_ts; leftover is the untouched pending remainder.
+
+    ``salt_shards`` > 1 enables the skew-proof two-phase top-k for
+    heavy-tailed hosts (north_rule: explicit skew handling): phase 1
+    ranks within (host, salt = xxhash64(url) % shards) shards and keeps
+    each shard's top-``budget`` — a guaranteed superset of the true
+    per-host top-``budget`` (any row FIFO-ahead of a kept row has shard
+    rank ≤ its global rank, so it is kept in its own shard too). Phase 2
+    exact-ranks only the ≤ budget×shards survivors per host, so no
+    single task ever sorts a hot host's full pending frontier. Batch
+    rows get byte-identical fetch_order/sched_ts to the single-phase
+    form; phase-1 castoffs flow to leftover untouched."""
     wave_ms = wave_seconds * 1000
     w = Window.partitionBy("host").orderBy("priority", "wave", "enq_seq")
-    ranked = (
+    sized = (
         frontier.join(F.broadcast(delays), "host", "left")
         .withColumn(
             "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
         )
         .withColumn("budget", F.greatest(F.lit(1), F.lit(wave_ms) / F.col("delay_ms")).cast("long"))
-        .withColumn("fetch_order", F.row_number().over(w).cast("long"))
     )
+    pruned_out = None
+    if salt_shards > 1:
+        w1 = Window.partitionBy("host", "_salt").orderBy(
+            "priority", "wave", "enq_seq"
+        )
+        sized = (
+            sized.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("canon_url"), F.lit(salt_shards)).cast("int"),
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+        )
+        sized.cache()  # split into survivors + castoffs without recompute
+        pruned_out = sized.filter(F.col("_r1") > F.col("budget")).select(
+            *frontier.columns
+        )
+        sized = sized.filter(F.col("_r1") <= F.col("budget")).drop("_salt", "_r1")
+    ranked = sized.withColumn("fetch_order", F.row_number().over(w).cast("long"))
     # batch and leftover split the same ranked frame — cache so the
     # join+window runs once, not once per consumer
     ranked.cache()
@@ -78,4 +107,6 @@ def select_budget(
     leftover = ranked.filter(F.col("fetch_order") > F.col("budget")).select(
         *frontier.columns
     )
+    if pruned_out is not None:
+        leftover = leftover.unionByName(pruned_out)
     return batch.drop("budget"), leftover

@@ -66,6 +66,7 @@ class Crawler:
         use_bloom: bool = False,
         bloom_shards: int = 8,
         broadcast_fetch: bool = False,
+        politeness_salt_shards: int = 16,
     ):
         self.spark = spark
         self.pages = pages
@@ -83,6 +84,7 @@ class Crawler:
         # wave batch — use it when the corpus layout can't be chosen and
         # wave batches stay broadcast-sized.
         self.broadcast_fetch = broadcast_fetch
+        self.politeness_salt_shards = politeness_salt_shards
         # static per-crawl dims: robots delays + first-touch (root/sitemap)
         # rows. Materialized to parquet ONCE so the sitemap-parse and
         # canonicalize UDFs never re-run per wave and the per-wave plans
@@ -208,6 +210,11 @@ class Crawler:
                 first_touch_template=self.first_touch,
                 broadcast_fetch=self.broadcast_fetch
                 and (frontier_rows is None or frontier_rows <= 5_000_000),
+                # skew-proof two-phase politeness top-k only pays off once
+                # a hot host could dominate a single sort task
+                politeness_salt_shards=(
+                    0 if small else self.politeness_salt_shards
+                ),
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

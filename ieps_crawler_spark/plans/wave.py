@@ -207,6 +207,7 @@ def run_wave(
     delays: DataFrame | None = None,
     first_touch_template: DataFrame | None = None,
     broadcast_fetch: bool = False,
+    politeness_salt_shards: int = 0,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -214,7 +215,9 @@ def run_wave(
     # re-runs per wave
     if delays is None:
         delays = host_delays(sites)
-    batch, leftover = select_budget(pending, delays, wave, wave_seconds)
+    batch, leftover = select_budget(
+        pending, delays, wave, wave_seconds, salt_shards=politeness_salt_shards
+    )
 
     # ---- 2. fetch = corpus ⋈ broadcast(batch) (missing → 404) ------------
     # The corpus side is the 100 TB table — it must NEVER shuffle (a plain
