@@ -328,9 +328,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard on constructed candidate pairs."""
     from ieps_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
+    # no driver-side count(): a pair whose id_b has no document row is
+    # dropped by ngram_jaccard_pairs' inner join anyway
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
-    pairs = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") + 1 < n)).select(
+    pairs = docs.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
     return ngram_jaccard_pairs(docs, pairs, "text", "doc_id", 3).select(
@@ -487,7 +488,14 @@ def q_events_window_agg(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        # sum on decimal, not double: float partial-agg order differs
+        # between Spark (shuffle order) and DuckDB (scan order), so a
+        # double sum can flip a rounding boundary nondeterministically
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+            .cast("double").alias("sum_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n", "sum_value",
@@ -514,7 +522,10 @@ def q_events_sessionize(spark, sf_dir):
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        # decimal sum: deterministic regardless of partial-agg order (the
+        # r1 hash_match flake was float summation order at a rounding edge)
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+        .cast("double").alias("total_value"),
     )
 
 
@@ -726,8 +737,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             pairs AS (
               SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
-              WHERE doc_id % 5 = 0
-                AND doc_id + 1 < (SELECT count(*) FROM documents))
+              WHERE doc_id % 5 = 0)
             SELECT id_a, id_b,
                    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                      / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
@@ -847,7 +857,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n,
-                   round(sum(value), 4) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                     AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": r"""
@@ -866,7 +877,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                     AS total_value
             FROM sess GROUP BY user_id, sess_id
         """,
     }

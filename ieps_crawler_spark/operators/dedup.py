@@ -283,21 +283,133 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------- embedding cosine
 
 
+def _pair_schema(emb: DataFrame, id_col: str) -> str:
+    idt = emb.schema[id_col].dataType.simpleString()
+    return f"id_a {idt}, id_b {idt}, cosine double"
+
+
 def embedding_neardup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    block_dims: int = 0,
+    block_size: int = 16384,
+    broadcast_rows: int = 65536,
 ) -> DataFrame:
-    """Cosine-threshold near-dup pairs, exact, as a block matrix product:
-    the right side is L2-normalized once and broadcast as a numpy matrix;
-    each Arrow batch of the left side computes `A_block @ B.T` and emits
-    pairs above threshold (a theta-join with per-pair interpreted array
-    aggregates measured ~50x slower). At corpus scale broadcast stops
-    fitting — block BOTH sides (grid of (i, j) block pairs) or route
-    candidates through LSH/IVF first (see operators/similarity.py); the
-    per-block kernel is identical."""
+    """Cosine-threshold near-dup pairs (id_a < id_b), exact, as a blocked
+    matrix product — NO driver-side collect of the corpus:
+
+    - corpus > ``broadcast_rows``: **block-grid path.** Rows hash into
+      ``ceil(n / block_size)`` blocks; each block is packed ONCE into a
+      single (ids, L2-normalized float64 matrix) row via applyInPandas;
+      the (i ≤ j) block-pair grid is built by equi-joining the tiny block
+      list, and each grid task multiplies exactly two packed blocks with
+      one numpy matmul. Peak memory per task = 2 blocks + one
+      block_size² score tile; shuffle volume = n_blocks × corpus (the
+      inherent all-pairs cost, spread across the cluster instead of the
+      driver). shuffle_hash hints keep the planner from broadcasting the
+      packed blocks (row-count stats lie about their byte size).
+    - corpus ≤ ``broadcast_rows``: **broadcast fast path.** The right
+      side is collected driver-side and broadcast; each Arrow batch of
+      the left side computes `A_batch @ B.T` (a theta-join with
+      interpreted array aggregates measured ~50x slower).
+
+    For sub-all-pairs cost route candidates through LSH/IVF first
+    (operators/similarity.py); the per-block kernel is identical.
+    Output id columns inherit the input id column's type."""
+    import numpy as np
+
+    out_schema = _pair_schema(emb, id_col)
+    n = emb.count()
+    if n <= broadcast_rows:
+        return _neardup_broadcast(emb, id_col, vec_col, threshold, out_schema)
+
+    import pickle
+
+    n_blocks = (n + block_size - 1) // block_size
+    blocked = emb.select(
+        F.pmod(F.xxhash64(id_col), F.lit(n_blocks)).cast("int").alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1)[:, None]
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "ids": [pickle.dumps(pdf["id"].to_numpy())],
+                "mat": [Mn.tobytes()],
+                "dim": [Mn.shape[1]],
+            }
+        )
+
+    packed = blocked.groupBy("block").applyInPandas(
+        _pack, "block int, ids binary, mat binary, dim int"
+    )
+    blocks = packed.select("block")
+    grid = (
+        blocks.select(F.col("block").alias("ba"))
+        .join(blocks.select(F.col("block").alias("bb")), F.col("ba") <= F.col("bb"))
+    )
+    paired = (
+        grid.join(
+            packed.hint("shuffle_hash").select(
+                F.col("block").alias("ba"),
+                F.col("ids").alias("ids_a"),
+                F.col("mat").alias("mat_a"),
+                F.col("dim").alias("dim"),
+            ),
+            "ba",
+        )
+        .join(
+            packed.hint("shuffle_hash").select(
+                F.col("block").alias("bb"),
+                F.col("ids").alias("ids_b"),
+                F.col("mat").alias("mat_b"),
+            ),
+            "bb",
+        )
+        # one grid cell per task: the matmul dominates, so spread cells
+        .repartition(int(n_blocks * (n_blocks + 1) // 2), "ba", "bb")
+    )
+
+    def _cells(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                dim = int(r.dim)
+                ida = pickle.loads(r.ids_a)
+                idb = pickle.loads(r.ids_b)
+                A = np.frombuffer(r.mat_a, dtype=np.float64).reshape(-1, dim)
+                B = np.frombuffer(r.mat_b, dtype=np.float64).reshape(-1, dim)
+                S = A @ B.T
+                ii, jj = np.where(S >= threshold)
+                if not len(ii):
+                    continue
+                xa, xb = ida[ii], idb[jj]
+                # orient (min, max); drop self-pairs (diagonal cells see
+                # each unordered pair twice — keep the a<b orientation)
+                keep = xa < xb
+                yield pd.DataFrame(
+                    {
+                        "id_a": xa[keep],
+                        "id_b": xb[keep],
+                        "cosine": S[ii[keep], jj[keep]],
+                    }
+                )
+
+    cells = paired.mapInPandas(_cells, out_schema)
+    # off-diagonal cells can emit the same oriented pair only once (each
+    # unordered row pair lives in exactly one unordered block pair), but
+    # diagonal cells emit (a,b) from both triangle halves — dropDuplicates
+    # on the pair key restores set semantics
+    return cells.dropDuplicates(["id_a", "id_b"])
+
+
+def _neardup_broadcast(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float, out_schema: str
+) -> DataFrame:
     import numpy as np
 
     pdf = emb.select(id_col, vec_col).toPandas()
@@ -320,6 +432,4 @@ def embedding_neardup(
                 {"id_a": ida[ii], "id_b": ids_b[jj], "cosine": S[ii, jj]}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        gen, f"id_a long, id_b long, cosine double"
-    )
+    return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)

@@ -100,6 +100,11 @@ class Crawler:
     # ------------------------------------------------------------------ init
     def _init_state(self, seeds: list[str] | DataFrame) -> tuple[int, int]:
         spark = self.spark
+        # fresh start over a reused checkpoint dir: clear EVERY delta table
+        # first — the append-only refactor means read_all unions all wave
+        # directories, so stale seen_add/hashes_add deltas from a previous
+        # crawl would silently dedup (= never crawl) this run's URLs
+        self.deltas.truncate_after(-1)
         triggers = seed_frontier(spark, seeds)
         injected, new_hosts = inject_first_touch(
             triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0,

@@ -86,6 +86,7 @@ def test_fetch_join_no_corpus_shuffle(spark, tmp_path):
         F.concat(F.lit("http://h.gov.si/d"), F.col("id")).alias("url"),
         F.encode(F.concat(F.lit("<html>"), F.col("id")), "UTF-8").alias("html"),
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     name = "t_fetch_bucketed"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -104,6 +105,7 @@ def test_fetch_join_no_corpus_shuffle(spark, tmp_path):
         p = plan(batch.join(corpus, "canon_url", "left"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     import re
 
     # bucketed side: scan feeds the sort-merge join without an Exchange.

@@ -44,6 +44,30 @@ def test_resume_identical(spark, setup, tmp_path):
     assert sa == sb
 
 
+def test_fresh_start_clears_stale_deltas(spark, setup, tmp_path):
+    """A fresh (resume=False) run over a reused checkpoint dir must not
+    inherit the previous crawl's seen/hash deltas — stale seen_add rows
+    would silently dedup this run's URLs (ADVICE r1)."""
+    corpus, pages, sites, bodies = setup
+    ckpt = str(tmp_path / "reused")
+    first = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60)
+    first.run(seeds=corpus["seeds"], max_waves=3)
+    stale_results = first.results().count()
+    assert stale_results > 0
+
+    fresh = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60)
+    fresh.run(seeds=corpus["seeds"], max_waves=3)
+
+    clean = Crawler(
+        spark, pages, sites, bodies, str(tmp_path / "clean"), wave_seconds=60
+    )
+    clean.run(seeds=corpus["seeds"], max_waves=3)
+    cols = ["url", "page_type", "http_status", "content_hash", "wave", "fetch_order"]
+    a = clean.results().select(cols).sort("url").collect()
+    b = fresh.results().select(cols).sort("url").collect()
+    assert a == b
+
+
 def test_resume_requires_state(spark, setup, tmp_path):
     corpus, pages, sites, bodies = setup
     c = Crawler(spark, pages, sites, bodies, str(tmp_path / "empty"))
