@@ -388,15 +388,14 @@ def embedding_neardup(
                 if not len(ii):
                     continue
                 xa, xb = ida[ii], idb[jj]
-                # orient (min, max); drop self-pairs (diagonal cells see
-                # each unordered pair twice — keep the a<b orientation)
-                keep = xa < xb
+                # orient each hit as (min, max) — block ids are hash-
+                # assigned, so row-id order is independent of (ba, bb)
+                # orientation; drop self-pairs
+                keep = xa != xb
+                lo = np.minimum(xa[keep], xb[keep])
+                hi = np.maximum(xa[keep], xb[keep])
                 yield pd.DataFrame(
-                    {
-                        "id_a": xa[keep],
-                        "id_b": xb[keep],
-                        "cosine": S[ii[keep], jj[keep]],
-                    }
+                    {"id_a": lo, "id_b": hi, "cosine": S[ii[keep], jj[keep]]}
                 )
 
     cells = paired.mapInPandas(_cells, out_schema)
