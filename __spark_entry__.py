@@ -365,7 +365,9 @@ def q_similarity_bruteforce_topk(spark, sf_dir):
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k (rows-only)."""
+    """Hyperplane-LSH bucketed approximate top-k with hamming-1
+    multi-probe (rows-only; recall vs brute force measured in
+    tests/test_similarity.py and BENCH.md)."""
     from ieps_crawler_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -373,7 +375,7 @@ def q_similarity_lsh_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, dim=dim, k=10, n_planes=8)
+    return lsh_topk(emb, q, dim=dim, k=10, n_planes=4, multiprobe=4)
 
 
 def q_similarity_ivf_topk(spark, sf_dir):
@@ -406,7 +408,10 @@ def q_multimodal_media_meta(spark, sf_dir):
 
 
 def q_multimodal_frame_plan(spark, sf_dir):
-    """Frame-sampling plan for video rows (rows-only: fake-decoder meta)."""
+    """Frame-sampling plan for video rows. The deterministic fake decoder
+    derives n_frames from sha256(bytes), so the full pipeline (decode →
+    sequence/explode plan) IS SQL-expressible — the DuckDB oracle
+    re-derives n_frames from the hex digest."""
     from ieps_crawler_spark.operators.multimodal import (
         extract_media_meta, frame_sample_plan,
     )
@@ -418,7 +423,8 @@ def q_multimodal_frame_plan(spark, sf_dir):
         F.when(d % 3 == 0, "image").when(d % 3 == 1, "audio")
         .otherwise("video").alias("kind"),
     )
-    return frame_sample_plan(extract_media_meta(media, "url", "content", "kind"))
+    plan = frame_sample_plan(extract_media_meta(media, "url", "content", "kind"))
+    return plan.select("url", F.col("frame_index").cast("long").alias("frame_index"))
 
 
 # ----------------------------------------------------------------- text ops
@@ -474,8 +480,8 @@ def q_graph_pagerank(spark, sf_dir):
 
 
 def q_graph_components(spark, sf_dir):
-    """O29 — connected components via min-label propagation (rows-only:
-    iterative fixpoint, not expressible as one SQL query)."""
+    """O29 — connected components via min-label propagation + pointer
+    jumping; DuckDB oracle = recursive-CTE transitive closure + min."""
     from ieps_crawler_spark.operators.graph import connected_components
 
     return connected_components(_toy_edges(spark, sf_dir))
@@ -790,6 +796,21 @@ def oracle_sql() -> dict[str, str]:
                    upper(sha256(text)) AS content_hash
             FROM documents
         """,
+        "multimodal_frame_plan": r"""
+            WITH m AS (
+              SELECT 'media://d' || doc_id AS url,
+                     (strpos('0123456789abcdef',
+                             substring(sha256(text), 5, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                              substring(sha256(text), 6, 1)) - 1 AS d2
+              FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT url, 24 * (1 + d2 % 120) AS n_frames FROM m)
+            SELECT url,
+                   CAST(unnest(list_slice(
+                     generate_series(0, n_frames - 1, 24), 1, 8)) AS BIGINT)
+                     AS frame_index
+            FROM f
+        """,
         "text_token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -852,6 +873,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM e JOIN deg ON e.s = deg.s JOIN r2 p ON p.node_id = e.s
                 GROUP BY e.d) i ON n.node_id = i.node_id)
             SELECT node_id, round(pr, 6) AS pagerank FROM r3
+        """,
+        "graph_components": r"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS a, l_partkey % 1000 AS b
+              FROM lineitem),
+            sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(node_id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node_id, sym.b FROM reach JOIN sym
+                ON reach.r = sym.a)
+            SELECT node_id, min(r) AS component FROM reach GROUP BY node_id
         """,
         "events_window_agg": r"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

@@ -81,8 +81,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    ``multiprobe`` > 0 additionally probes that many hamming-distance-1
+    neighbor buckets (bit-flips of the query signature, JVM-side explode)
+    — the standard recall knob: cost grows linearly with probes while the
+    corpus side stays bucketed once. Recall measured against
+    brute_force_topk in tests/test_similarity.py and BENCH.md."""
     sig = hyperplane_sig_udf(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
@@ -90,9 +97,18 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("bucket", sig("qvec"))
+    if multiprobe > 0:
+        flips = [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(multiprobe, n_planes))
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(F.col("bucket"), *flips)))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", _cosine("cvec", "qvec").alias("cosine")
     )
+    if multiprobe > 0:
+        # a candidate can share several probed buckets with the query
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

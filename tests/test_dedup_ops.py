@@ -85,3 +85,161 @@ def test_embedding_neardup_no_driver_collect_in_grid_path(spark, emb):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # the per-block pack stage
+
+
+# ------------------------------------------------------------- minhash LSH
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+
+
+def _py_minhash_sigs(docs, n_perm=64, shingle_k=5, seed=42):
+    from ieps_crawler_spark.operators.dedup import (
+        _MERSENNE, _minhash_params, _shingle_hashes,
+    )
+
+    a, b = _minhash_params(n_perm, seed)
+    sigs = {}
+    for doc_id, text in docs:
+        h = _shingle_hashes(text, shingle_k)
+        if len(h) == 0:
+            sigs[doc_id] = [0] * n_perm
+        else:
+            vals = (np.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
+            sigs[doc_id] = [int(x) for x in vals.min(axis=1).astype(np.int64)]
+    return sigs
+
+
+def _py_minhash_pairs(docs, n_perm=64, bands=16, shingle_k=5, threshold=0.5):
+    """Slow oracle: same signatures, but banding/bucketing/verification
+    re-done with plain dicts and loops — verifies the Spark band-explode,
+    bucket join, pair dedup and zip_with agreement aggregate."""
+    sigs = _py_minhash_sigs(docs, n_perm, shingle_k)
+    r = n_perm // bands
+    cand = set()
+    for i in range(bands):
+        buckets = {}
+        for d, s in sigs.items():
+            buckets.setdefault(tuple(s[i * r : (i + 1) * r]), []).append(d)
+        for ds in buckets.values():
+            ds.sort()
+            for x in range(len(ds)):
+                for y in range(x + 1, len(ds)):
+                    cand.add((ds[x], ds[y]))
+    out = {}
+    for x, y in cand:
+        est = sum(1 for p, q in zip(sigs[x], sigs[y]) if p == q) / n_perm
+        if est >= threshold:
+            out[(x, y)] = est
+    return out
+
+
+def test_minhash_lsh_matches_python_oracle(spark, docs_pdf):
+    from ieps_crawler_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.createDataFrame(docs_pdf)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    want = _py_minhash_pairs(
+        list(zip(docs_pdf["doc_id"], docs_pdf["text"])), threshold=0.5
+    )
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs_pdf):
+    """End-to-end semantic check: planted copies with a few words changed
+    must surface as high-est-Jaccard pairs; unrelated docs must not."""
+    from ieps_crawler_spark.operators.dedup import minhash_lsh_dedup
+
+    base = docs_pdf.head(20).copy()
+    planted = []
+    rows = []
+    for i, r in base.iterrows():
+        rows.append((int(r["doc_id"]) * 2, r["text"]))
+        words = r["text"].split()
+        words[len(words) // 2] = "PLANTEDWORD"
+        rows.append((int(r["doc_id"]) * 2 + 1, " ".join(words)))
+        planted.append((int(r["doc_id"]) * 2, int(r["doc_id"]) * 2 + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found >= len(planted) * 0.9, f"only {found}/{len(planted)} planted found"
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def _py_simhash(text, shingle_k=4):
+    from ieps_crawler_spark.operators.dedup import _shingle_hashes
+
+    h = _shingle_hashes(text, shingle_k)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    v = bits.sum(axis=0) * 2 - len(h)
+    sim = 0
+    for i in range(64):
+        if v[i] > 0:
+            sim |= 1 << i
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def _py_simhash_pairs(docs, max_hamming=3):
+    sims = {d: _py_simhash(t) for d, t in docs}
+    cand = set()
+    for seg in range(4):
+        buckets = {}
+        for d, s in sims.items():
+            buckets.setdefault((s >> (seg * 16)) & 0xFFFF, []).append(d)
+        for ds in buckets.values():
+            ds.sort()
+            for x in range(len(ds)):
+                for y in range(x + 1, len(ds)):
+                    cand.add((ds[x], ds[y]))
+    out = {}
+    for x, y in cand:
+        ham = bin((sims[x] ^ sims[y]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            out[(x, y)] = ham
+    return out
+
+
+def test_simhash_matches_python_oracle(spark, docs_pdf):
+    from ieps_crawler_spark.operators.dedup import simhash_dedup
+
+    docs = spark.createDataFrame(docs_pdf)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup(docs, "text", "doc_id", 3).collect()
+    }
+    want = _py_simhash_pairs(list(zip(docs_pdf["doc_id"], docs_pdf["text"])), 3)
+    assert got == want
+
+
+def test_simhash_finds_identical_twins(spark, docs_pdf):
+    from ieps_crawler_spark.operators.dedup import simhash_dedup
+
+    base = docs_pdf.head(10)
+    rows = [(int(r["doc_id"]) * 2, r["text"]) for _, r in base.iterrows()]
+    rows += [(int(r["doc_id"]) * 2 + 1, r["text"]) for _, r in base.iterrows()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup(docs, "text", "doc_id", 0).collect()
+    }
+    for _, r in base.iterrows():
+        d = int(r["doc_id"])
+        assert got.get((d * 2, d * 2 + 1)) == 0

@@ -1,0 +1,132 @@
+"""Similarity-search verification (VERDICT r1: lsh_topk/ivf_topk had no
+tests and no measured recall — the similarity.py docstring promised a
+recall assertion; this file makes it true).
+
+- brute_force_topk vs a pure-numpy exact oracle (independent of Spark).
+- lsh_topk / ivf_topk: (a) every returned cosine must equal the exact
+  cosine for that (query, candidate) pair — the approximation may only
+  lose candidates, never mis-score them; (b) measured recall@10 against
+  brute force must clear a floor; (c) multi-probe LSH must dominate
+  single-probe recall.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb):
+    """query_id -> [(vec_id, cosine)] exact top-K via numpy."""
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    out = {}
+    for qi in ids[ids % 100 == 0]:
+        qv = Mn[np.where(ids == qi)[0][0]]
+        cos = Mn @ qv
+        order = np.lexsort((ids, -cos))[:K]
+        out[int(qi)] = [(int(ids[i]), float(cos[i])) for i in order]
+    return out
+
+
+def _by_query(rows):
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"], r["rank"]))
+    for v in got.values():
+        v.sort(key=lambda t: t[2])
+    return got
+
+
+def _recall(got, exact):
+    vals = []
+    for qi, want in exact.items():
+        want_ids = {v for v, _ in want}
+        got_ids = {v for v, _, _ in got.get(qi, [])}
+        vals.append(len(want_ids & got_ids) / K)
+    return sum(vals) / len(vals)
+
+
+def test_brute_force_matches_numpy(emb, queries, exact):
+    from ieps_crawler_spark.operators.similarity import brute_force_topk
+
+    got = _by_query(brute_force_topk(emb, queries, k=K).collect())
+    assert set(got) == set(exact)
+    for qi, want in exact.items():
+        assert [v for v, _, _ in got[qi]] == [v for v, _ in want]
+        for (gv, gc, _), (_, wc) in zip(got[qi], want):
+            assert abs(gc - wc) < 1e-9
+
+
+def _assert_scores_exact(got, emb_pdf):
+    ids = emb_pdf["vec_id"].to_numpy()
+    M = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    pos = {int(i): p for p, i in enumerate(ids)}
+    for qi, rows in got.items():
+        qv = Mn[pos[qi]]
+        for v, c, _ in rows:
+            assert abs(c - float(Mn[pos[v]] @ qv)) < 1e-6
+
+
+# Measured recall@10 on the sf0.001 embeddings (500 vecs, 64 dims, 5 queries):
+#   lsh planes=4 mp=0 0.14 | mp=4 0.42      planes=8 mp=0 0.12 | mp=8 0.18
+#   ivf lists=8 probe=3 0.68 | probe=4 0.76  lists=16 probe=4 0.50
+# Single-probe LSH is candidate-starved at 2^planes buckets over a 500-row
+# corpus — the floors below assert the measured behavior with margin, and
+# the multiprobe/IVF paths carry the real recall story (also in BENCH.md).
+
+
+def test_lsh_topk_recall_and_scores(emb, queries, exact):
+    from ieps_crawler_spark.operators.similarity import lsh_topk
+
+    got = _by_query(lsh_topk(emb, queries, dim=64, k=K, n_planes=8).collect())
+    _assert_scores_exact(got, emb.select("vec_id", "embedding").toPandas())
+    r = _recall(got, exact)
+    assert r >= 0.05, f"single-probe LSH recall collapsed: {r:.3f}"
+
+
+def test_lsh_multiprobe_improves_recall(emb, queries, exact):
+    from ieps_crawler_spark.operators.similarity import lsh_topk
+
+    r1 = _recall(
+        _by_query(lsh_topk(emb, queries, dim=64, k=K, n_planes=4).collect()), exact
+    )
+    r2 = _recall(
+        _by_query(
+            lsh_topk(emb, queries, dim=64, k=K, n_planes=4, multiprobe=4).collect()
+        ),
+        exact,
+    )
+    assert r2 >= r1
+    assert r2 >= 0.3, f"multi-probe LSH recall too low: {r2:.3f}"
+
+
+def test_ivf_topk_recall_and_scores(emb, queries, exact):
+    from ieps_crawler_spark.operators.similarity import ivf_topk
+
+    got = _by_query(
+        ivf_topk(emb, queries, k=K, n_lists=8, n_probe=4).collect()
+    )
+    _assert_scores_exact(got, emb.select("vec_id", "embedding").toPandas())
+    r = _recall(got, exact)
+    assert r >= 0.6, f"IVF recall too low: {r:.3f}"
