@@ -89,3 +89,16 @@ def test_udf_roundtrip(spark):
     )
     assert len(rows) == len(extract_all(HTML, "evem.gov.si"))
     assert all(r["text"] == extract_text(HTML) for r in rows)
+
+
+def test_single_pass_extract_page_parity():
+    """extract_page (one parse) must equal the extract_text/extract_all
+    pair on every fixture, including None and unparsable input."""
+    from ieps_crawler_spark.functions.extract import (
+        extract_all, extract_page, extract_text,
+    )
+
+    for html in (HTML, "", "<p>plain", None, b"<html><body>x</body></html>"):
+        t, links = extract_page(html, "evem.gov.si")
+        assert t == extract_text(html)
+        assert links == extract_all(html, "evem.gov.si")
