@@ -134,11 +134,91 @@ class SnapshotStore:
 class DeltaLog:
     """Append-only per-wave deltas (crawl_results, links, metrics): each
     wave writes its own subdirectory; a full-table read is one recursive
-    parquet scan. Mirrors Iceberg append commits."""
+    parquet scan. Mirrors Iceberg append commits.
+
+    Compaction (VERDICT r1 #8): the seen/hashes/hosts add-sets are read
+    EVERY wave, so directory count — and with it parquet footer/listing
+    cost — grows linearly in waves. ``compact`` folds all committed add
+    directories into one ``compact=<lo>-<hi>`` directory (Iceberg's
+    rewrite_data_files equivalent). Crash safety: the combined directory
+    is staged + atomically renamed BEFORE sources are deleted, so the
+    only crash anomaly is sources surviving next to their compact dir
+    (transient duplicates); ``finish_compactions`` — called on resume
+    before any read — deletes every source a compact dir covers."""
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def _dir_range(d: str) -> tuple[int, int] | None:
+        """(lo, hi) wave range covered by a delta directory name."""
+        if d.endswith(".staging"):
+            return None
+        if d.startswith("wave="):
+            w = int(d.split("=", 1)[1])
+            return (w, w)
+        if d.startswith("compact="):
+            lo, hi = d.split("=", 1)[1].split("-")
+            return (int(lo), int(hi))
+        return None
+
+    def compact(
+        self, spark: SparkSession, name: str, upto_wave: int, min_dirs: int = 4
+    ) -> bool:
+        """Fold every delta dir of ``name`` covering waves <= upto_wave
+        into one compact dir. Callers must only pass committed waves
+        (adds[k] belong to snapshot k): a compact dir is all-or-nothing
+        under resume truncation. Returns True if a rewrite happened."""
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return False
+        sources = []
+        for d in sorted(os.listdir(base)):
+            r = self._dir_range(d)
+            if r is not None and r[1] <= upto_wave:
+                sources.append((d, r))
+        if len(sources) < min_dirs:
+            return False
+        lo = min(r[0] for _, r in sources)
+        hi = max(r[1] for _, r in sources)
+        final = os.path.join(base, f"compact={lo:06d}-{hi:06d}")
+        staging = final + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        df = spark.read.parquet(*[os.path.join(base, d) for d, _ in sources])
+        # small-file packing falls out of the scan (maxPartitionBytes bins
+        # many small inputs per partition), so the rewrite shrinks both
+        # directory count and file count without an explicit shuffle
+        df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
+        for d, _ in sources:
+            if d != os.path.basename(final):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        return True
+
+    def finish_compactions(self, tables: tuple[str, ...]) -> None:
+        """Crash cleanup: drop staging leftovers and any source dir a
+        committed compact dir covers. Must run before reads on resume."""
+        for name in tables:
+            base = os.path.join(self.root, name)
+            if not os.path.isdir(base):
+                continue
+            dirs = os.listdir(base)
+            compacts = []
+            for d in dirs:
+                if d.endswith(".staging"):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                elif d.startswith("compact="):
+                    compacts.append((d, self._dir_range(d)))
+            for d in dirs:
+                r = self._dir_range(d)
+                if r is None:
+                    continue
+                for cd, cr in compacts:
+                    if d != cd and cr[0] <= r[0] and r[1] <= cr[1]:
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                        break
 
     def append(self, wave: int, name: str, df: DataFrame) -> None:
         final = os.path.join(self.root, name, f"wave={wave:06d}")
@@ -186,14 +266,17 @@ class DeltaLog:
     def truncate_after(self, wave: int, tables: tuple[str, ...] | None = None) -> None:
         """Resume support: drop deltas newer than `wave` (uncommitted).
         ``tables`` limits the cut to the named delta tables — per-wave
-        deltas and append-only state adds have different valid cutoffs."""
+        deltas and append-only state adds have different valid cutoffs.
+        Compact dirs are all-or-nothing: ``compact`` only ever covers
+        committed waves, so a compact range can never straddle a valid
+        resume cutoff; one that ends past the cutoff is dropped whole."""
         for name in os.listdir(self.root):
             if tables is not None and name not in tables:
                 continue
             base = os.path.join(self.root, name)
             for d in list(os.listdir(base)):
-                w = d.split("=", 1)[1].split(".")[0]
-                if d.endswith(".staging") or int(w) > wave:
+                r = self._dir_range(d)
+                if r is None or r[1] > wave:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
