@@ -287,6 +287,37 @@ def q_crawl_upsert_latest(spark, sf_dir):
     )
 
 
+def q_crawl_load_analytics(spark, sf_dir):
+    """Report-style load/wait analytics (reference r/loadTime.R,
+    r/waitTime.R over page.load_time/accessed_time, report.tex:161-172):
+    per-host row count, avg/max load time and avg politeness wait, on the
+    deterministic load-time model (load = payload_len % 4000 + 100;
+    wait = (fetch_order-1) * delay)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    fetched = (
+        o.select("o_orderkey", "o_custkey",
+                 F.concat(F.lit("h"), hid.cast("string")).alias("host"))
+        .join(
+            c.select(F.col("c_custkey").alias("k"),
+                     F.length("c_name").alias("body_len")),
+            F.col("o_custkey") == F.col("k"), "inner",
+        )
+        .withColumn("load_time_ms", F.pmod(F.col("body_len"), F.lit(4000)) + 100)
+    )
+    w = Window.partitionBy("host").orderBy("o_orderkey")
+    fetched = fetched.withColumn(
+        "wait_ms", (F.row_number().over(w) - 1).cast("long") * 4000
+    )
+    return fetched.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.round(F.avg("load_time_ms"), 4).alias("avg_load_ms"),
+        F.max("load_time_ms").alias("max_load_ms"),
+        F.round(F.avg("wait_ms"), 4).alias("avg_wait_ms"),
+    )
+
+
 def q_crawl_assets(spark, sf_dir):
     """O9/O20/O23 — asset persistence with the seed-domain download flag
     (reference: content stored only for seed domains, FrontierManager
@@ -595,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_point_lookup": q_crawl_point_lookup,
         "crawl_upsert_latest": q_crawl_upsert_latest,
         "crawl_assets": q_crawl_assets,
+        "crawl_load_analytics": q_crawl_load_analytics,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -756,6 +788,22 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders)
             WHERE rn = 1
+        """,
+        "crawl_load_analytics": r"""
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 23) AS host, o_orderkey,
+                     length(c_name) % 4000 + 100 AS load_time_ms
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            ranked AS (
+              SELECT host, load_time_ms,
+                     (row_number() OVER (PARTITION BY host ORDER BY o_orderkey)
+                      - 1) * 4000 AS wait_ms
+              FROM f)
+            SELECT host, count(*) AS n_pages,
+                   round(avg(load_time_ms), 4) AS avg_load_ms,
+                   max(load_time_ms) AS max_load_ms,
+                   round(avg(wait_ms), 4) AS avg_wait_ms
+            FROM ranked GROUP BY host
         """,
         "crawl_assets": r"""
             SELECT 'http://h' || (o_custkey % 23) || '.gov.si/o'

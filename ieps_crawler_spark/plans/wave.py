@@ -276,6 +276,15 @@ def run_wave(
             F.col("allowed") & F.col("html").isNotNull(),
             F.upper(F.sha2(F.col("html"), 256)),
         ),
+    ).withColumn(
+        # deterministic load-time model (reference stores live fetch
+        # latency, page.load_time crawldb.sql:36 / r/loadTime.R): latency
+        # correlates with payload size; null when nothing was fetched
+        "load_time_ms",
+        F.when(
+            F.col("allowed") & F.col("html").isNotNull(),
+            F.pmod(F.length("html"), F.lit(4000)) + F.lit(100),
+        ).cast("long"),
     )
 
     # ---- 4b. asset persistence (seed-domain download flag) ---------------
@@ -327,6 +336,7 @@ def run_wave(
         "sched_ts",
         "http_status",
         "content_hash",
+        "load_time_ms",
         "allowed",
         F.col("_page.text").alias("text"),
         F.col("_page.links").alias("links"),
@@ -400,6 +410,7 @@ def run_wave(
         F.lit(wave).alias("wave"),
         "fetch_order",
         "sched_ts",
+        "load_time_ms",
         # DUPLICATE rows store the link only, never their parse output
         # (DomainWorkerActor.scala:165-171)
         F.when(F.col("page_type") == "HTML", F.col("text")).alias("text"),

@@ -181,6 +181,7 @@ def simulate(
                     "wave": wave,
                     "fetch_order": rank,
                     "sched_ts": sched,
+                    "load_time_ms": None,
                     "text": None,
                     "data_type_code": None,
                 }
@@ -199,6 +200,8 @@ def simulate(
                 h256 = hashlib.sha256(html).hexdigest().upper()
                 row["http_status"] = 200
                 row["content_hash"] = h256
+                # deterministic load-time model (see plans/wave.py)
+                row["load_time_ms"] = len(html) % 4000 + 100
                 if e["data_type"] == 0:
                     if h256 in seen_hashes:
                         row["page_type"] = "DUPLICATE"

@@ -93,6 +93,18 @@ def test_status_and_hash_equal(engine, sim):
     assert got == want
 
 
+def test_load_time_equal(engine, sim):
+    """Deterministic load-time model column (reference page.load_time /
+    r/loadTime.R analytics) — engine == simulator per URL."""
+    df = _engine_results(engine)
+    got = {
+        r.url: (None if r.load_time_ms != r.load_time_ms else int(r.load_time_ms))
+        for r in df.itertuples()
+    }
+    want = {r["url"]: r["load_time_ms"] for r in sim.results}
+    assert got == want
+
+
 def test_assets_equal(engine, sim, corpus):
     """Seed-domain download flag: asset bytes persisted iff the asset's
     host is a seed host (FrontierManagerActor.scala:95,110,129; stores
