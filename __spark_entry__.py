@@ -525,6 +525,16 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_rolling_fp(spark, sf_dir):
+    """Winnowing-style rolling fingerprints (32-char window, stride 16)
+    exploded to (doc_id, fp) rows — partial-overlap detection primitive."""
+    from ieps_crawler_spark.operators.text import rolling_fingerprints
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(rolling_fingerprints("text", 32, 16)).alias("fp")
+    )
+
+
 # --------------------------------------------------------------- graph ops
 
 def _toy_edges(spark, sf_dir):
@@ -641,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_lang_quality": q_text_lang_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_rolling_fp": q_text_rolling_fp,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
@@ -945,6 +956,19 @@ def oracle_sql() -> dict[str, str]:
                    substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
                              1, 16) AS fp
             FROM documents
+        """,
+        "text_rolling_fp": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(1, length(norm) - 31), 16),
+                       i -> substring(md5(substring(norm, i, 32)), 1, 8)) AS fps
+              FROM n)
+            SELECT doc_id, unnest(fps) AS fp FROM f
         """,
         "graph_pagerank": r"""
             WITH e AS (

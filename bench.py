@@ -38,39 +38,61 @@ def _time_noop(spark, fn, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
-def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
-                n_seeds: int, max_waves: int) -> dict:
-    from ieps_crawler_spark.plans.crawl import Crawler
-    from ieps_crawler_spark.webgen import seeds_df, web_from_documents
+_CORPUS_MEMO: dict = {}
 
+
+def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
+                  n_seeds: int):
+    """Materialize the synthetic web ONCE per bench process as a
+    bucketed+sorted table — the parquet stand-in for an Iceberg corpus
+    with a bucket(url) partition transform. The per-wave fetch join then
+    shuffles ONLY the frontier batch; the corpus html never moves.
+    Memoized so the bloom-on rerun reuses the same table + warm JVM."""
+    from ieps_crawler_spark.plans.crawl import Crawler
+    from ieps_crawler_spark.webgen import web_from_documents
+
+    key = (sf_dir, replicate, n_hosts, n_seeds)
+    if key in _CORPUS_MEMO:
+        return _CORPUS_MEMO[key]
     pages_expr, sites, seeds = web_from_documents(
         spark, sf_dir, replicate=replicate, n_hosts=n_hosts, n_seeds=n_seeds
     )
+    (
+        pages_expr.write.mode("overwrite")
+        .bucketBy(64, "url").sortBy("url")
+        .saveAsTable("bench_corpus")
+    )
+    pages = spark.table("bench_corpus")
+    n_pages = pages.count()
+    # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
+    # codegen paths and warms the shuffle machinery so the timed
+    # section measures steady state, not JVM cold start
+    warm_dir = tempfile.mkdtemp(prefix="ieps_warm_")
+    try:
+        warm = Crawler(spark, pages, sites, None, f"{warm_dir}/warm",
+                       wave_seconds=1_000)
+        warm.run(seeds=seeds[:2], max_waves=2)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+    _CORPUS_MEMO[key] = (pages, sites, n_pages)
+    return _CORPUS_MEMO[key]
+
+
+def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
+                n_seeds: int, max_waves: int, use_bloom: bool = False,
+                bloom_shards: int = 16) -> dict:
+    from ieps_crawler_spark.plans.crawl import Crawler
+    from ieps_crawler_spark.webgen import seeds_df
+
+    pages, sites, n_pages = _setup_corpus(
+        spark, sf_dir, replicate, n_hosts, n_seeds
+    )
     work = tempfile.mkdtemp(prefix="ieps_bench_")
     try:
-        # untimed setup: materialize the synthetic web as a bucketed+sorted
-        # table — the parquet stand-in for an Iceberg corpus with a
-        # bucket(url) partition transform. The per-wave fetch join then
-        # shuffles ONLY the frontier batch; the corpus html never moves.
-        (
-            pages_expr.write.mode("overwrite")
-            .bucketBy(64, "url").sortBy("url")
-            .saveAsTable("bench_corpus")
-        )
-        pages = spark.table("bench_corpus")
-        n_pages = pages.count()
-
-        # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
-        # codegen paths and warms the shuffle machinery so the timed
-        # section measures steady state, not JVM cold start
-        warm = Crawler(
-            spark, pages, sites, None, f"{work}/warm", wave_seconds=1_000
-        )
-        warm.run(seeds=seeds[:2], max_waves=2)
-
         t0 = time.time()
         crawler = Crawler(
-            spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000
+            spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000,
+            use_bloom=use_bloom, bloom_shards=bloom_shards,
         )
         sdf = seeds_df(spark, n_pages, n_hosts, n_seeds)
         stats = crawler.run(seeds=sdf, max_waves=max_waves)
@@ -146,6 +168,17 @@ def main() -> None:
         )
         results["crawl"] = crawl["sec"]
         extras["crawl"] = crawl
+
+    # same crawl with the sharded-Bloom seen pre-filter on — results are
+    # byte-identical (tests/test_bloom.py); this measures the routing cost/
+    # benefit so BENCH.md carries real numbers for the 10^10-scale path
+    if (not only and os.environ.get("BENCH_BLOOM", "1") == "1") or "crawl_bloom" in only:
+        crawl_b = bench_crawl(
+            spark, sf_dir, args.replicate, args.hosts, args.seeds, args.waves,
+            use_bloom=True,
+        )
+        results["crawl_bloom"] = crawl_b["sec"]
+        extras["crawl_bloom"] = crawl_b
 
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
     for name, fn in entry_mod.queries().items():

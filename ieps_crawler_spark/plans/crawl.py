@@ -270,8 +270,13 @@ class Crawler:
             # commit point) for crash consistency; each wave appends ONLY
             # its additions.
             self.deltas.append(wave, "crawl_results", results_obs)
+            # obs completes with the results write; gating the assets
+            # delta on the observed BINARY count skips a whole re-join
+            # against the corpus on waves that fetched no binary content
+            # (the asset branch reads the uncached html-bearing frame)
+            mvals = obs.get
             self.deltas.append(wave, "links", out.links)
-            if out.assets is not None:
+            if out.assets is not None and mvals["binary"] > 0:
                 self.deltas.append(wave, "assets", out.assets)
             t_deltas = time.time()
             self.deltas.append(wave + 1, "seen_add", out.seen_add)
@@ -281,7 +286,6 @@ class Crawler:
                 wave + 1, {"frontier": out.pending_next}
             )
             frontier_rows = _lineage_rows(manifest, "frontier")
-            mvals = obs.get
             n_fetched = mvals["fetched"]
             fetched_total += n_fetched
             metrics = {
