@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.politeness import host_delays
-from ..operators.seen import build_bloom
+from ..operators.seen import build_bloom, merge_blooms
 from ..sinks.tables import DeltaLog, SnapshotStore
 from .wave import (
     build_first_touch_template,
@@ -65,6 +65,7 @@ class Crawler:
         wave_seconds: int = 60,
         use_bloom: bool = False,
         bloom_shards: int = 8,
+        bloom_bits_per_shard: int = 1 << 23,
         broadcast_fetch: bool = False,
         politeness_salt_shards: int = 16,
         compact_every: int = 8,
@@ -78,6 +79,13 @@ class Crawler:
         self.wave_seconds = wave_seconds
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
+        # fixed per-shard bitmap size makes per-wave filters OR-mergeable:
+        # wave cost is O(new urls), not O(seen). Default 2^23 bits = 1 MB
+        # per shard ≈ 800k keys at 10 bits/key; at 10^10 keys size shards
+        # so n_shards * capacity covers the frontier (overfill only
+        # degrades the FP rate, i.e. costs exact probes, never drops URLs)
+        self.bloom_bits_per_shard = bloom_bits_per_shard
+        self._bloom: DataFrame | None = None
         # fetch strategy: the default shuffled join relies on the corpus
         # being bucketed by url (Iceberg bucket transform / parquet
         # bucketBy) so only the batch side shuffles; broadcast_fetch=True
@@ -218,10 +226,17 @@ class Crawler:
             t0 = time.time()
             bloom = None
             if self.use_bloom:
-                # cache: the blobs are probed by both dedup call sites and
-                # the count-free shard lookup; freed by per-wave clearCache
-                bloom = build_bloom(state["seen"], self.bloom_shards)
-                bloom.cache()
+                if self._bloom is None:
+                    # one full build per run/resume; afterwards the filter
+                    # is maintained incrementally (merge of each wave's
+                    # adds) — rebuilding from the whole seen set per wave
+                    # would make bloom maintenance quadratic over a crawl
+                    self._bloom = build_bloom(
+                        state["seen"],
+                        self.bloom_shards,
+                        n_bits=self.bloom_bits_per_shard,
+                    ).localCheckpoint(eager=True)
+                bloom = self._bloom
             out = run_wave(
                 spark,
                 wave,
@@ -245,6 +260,13 @@ class Crawler:
                     0 if small else self.politeness_salt_shards
                 ),
                 seed_hosts=self.seed_hosts,
+                # seen ≈ everything ever enqueued = fetched + still
+                # pending — close enough for the 20x broadcast heuristic
+                seen_rows_hint=(
+                    fetched_total + (frontier_rows or 0)
+                    if self.use_bloom
+                    else None
+                ),
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.
@@ -286,6 +308,19 @@ class Crawler:
                 wave + 1, {"frontier": out.pending_next}
             )
             frontier_rows = _lineage_rows(manifest, "frontier")
+            if self.use_bloom:
+                # fold this wave's additions into the filter (seen_add was
+                # just materialized by its delta write, so the build scans
+                # only new urls); eager checkpoint truncates lineage and
+                # survives the per-wave clearCache
+                self._bloom = merge_blooms(
+                    self._bloom,
+                    build_bloom(
+                        out.seen_add,
+                        self.bloom_shards,
+                        n_bits=self.bloom_bits_per_shard,
+                    ),
+                ).localCheckpoint(eager=True)
             n_fetched = mvals["fetched"]
             fetched_total += n_fetched
             metrics = {

@@ -217,6 +217,7 @@ def run_wave(
     broadcast_fetch: bool = False,
     politeness_salt_shards: int = 0,
     seed_hosts: DataFrame | None = None,
+    seen_rows_hint: int | None = None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -472,7 +473,10 @@ def run_wave(
             F.lit(GROUP_LINK << _GROUP_SHIFT) + F.row_number().over(local_w)
         ).cast("long").alias("enq_seq"),
     )
-    cand = dedup_against_seen(cand, seen, bloom=bloom, n_shards=bloom_shards)
+    cand = dedup_against_seen(
+        cand, seen, bloom=bloom, n_shards=bloom_shards,
+        seen_rows_hint=seen_rows_hint,
+    )
     cand.cache()  # feeds first-touch detection AND the next-frontier union
 
     # ---- 8. first-touch injections (root + sitemap seeding) --------------
@@ -481,7 +485,10 @@ def run_wave(
         template=first_touch_template,
     )
     new_hosts.cache()  # consumed by the injected rows and the hosts sink
-    injected = dedup_against_seen(injected, seen, bloom=bloom, n_shards=bloom_shards)
+    injected = dedup_against_seen(
+        injected, seen, bloom=bloom, n_shards=bloom_shards,
+        seen_rows_hint=seen_rows_hint,
+    )
     # root/sitemap may collide with triggered candidates: triggers win on
     # group order only if url differs — dedup across the union, keeping
     # the smallest (group, local) = enq_seq per url (root < links < sitemap

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ieps_crawler_spark.operators.seen import (
-    build_bloom, dedup_against_seen, probe_bloom,
+    build_bloom, dedup_against_seen, merge_blooms, probe_bloom,
 )
 
 
@@ -61,17 +61,44 @@ def test_probe_plan_has_no_broadcast_of_blobs(spark, seen):
     assert "BroadcastExchange" not in plan
 
 
+def test_incremental_merge_equals_full_build(spark, seen):
+    """Fixed-size filters are OR-mergeable: build(all) must equal
+    merge(build(first half), build(second half)) byte-for-byte — the
+    invariant behind O(new)-per-wave incremental maintenance."""
+    nb = 1 << 16
+
+    def blobs(df):
+        return {
+            r["shard"]: (r["n_bits"], r["n_hashes"], bytes(r["bits"]))
+            for r in df.collect()
+        }
+
+    full = blobs(build_bloom(seen, 8, n_bits=nb))
+    inc = blobs(
+        merge_blooms(
+            build_bloom(_cands(spark, 0, 1000), 8, n_bits=nb),
+            build_bloom(_cands(spark, 1000, 2000), 8, n_bits=nb),
+        )
+    )
+    assert full == inc
+
+
 def test_dedup_bloom_equals_exact(spark, seen):
     bloom = build_bloom(seen, n_shards=8)
     bloom.cache()
     cands = _cands(spark, 1000, 3000)  # half seen, half new
     exact = {r["canon_url"] for r in dedup_against_seen(cands, seen).collect()}
-    routed = {
-        r["canon_url"]
-        for r in dedup_against_seen(cands, seen, bloom=bloom, n_shards=8).collect()
-    }
-    assert routed == exact
     assert len(exact) == 1000
+    # shuffle-verification regime (no hint) and broadcast-verification
+    # regime (hint says seen dwarfs suspects) must both be exact
+    for hint in (None, 10**9):
+        routed = {
+            r["canon_url"]
+            for r in dedup_against_seen(
+                cands, seen, bloom=bloom, n_shards=8, seen_rows_hint=hint
+            ).collect()
+        }
+        assert routed == exact, f"hint={hint}"
     bloom.unpersist()
     spark.catalog.clearCache()
 
