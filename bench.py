@@ -177,7 +177,8 @@ def main() -> None:
             spark, sf_dir, args.replicate, args.hosts, args.seeds, args.waves,
             use_bloom=True,
         )
-        results["crawl_bloom"] = crawl_b["sec"]
+        # extras only: an alternate config of the same workload must not
+        # inflate the headline sum (cross-round comparability)
         extras["crawl_bloom"] = crawl_b
 
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl

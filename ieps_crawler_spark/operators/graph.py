@@ -108,6 +108,8 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct()
     sym.cache()
+    from pyspark.sql import Observation
+
     prev_sum = None
     try:
         labels = (
@@ -116,13 +118,13 @@ def connected_components(
             .withColumn("component", F.col("node_id"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_iterations):
+        for i in range(max_iterations):
             neighbor_min = (
                 sym.join(labels, sym["b"] == labels["node_id"], "inner")
                 .groupBy("a")
                 .agg(F.min("component").alias("n_min"))
             )
-            propagated = labels.join(
+            updated = labels.join(
                 neighbor_min, labels["node_id"] == neighbor_min["a"], "left"
             ).select(
                 "node_id",
@@ -130,23 +132,32 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                 ).alias("component"),
             )
-            # pointer jumping: component <- label(component) — labels only
-            # shrink, so composing is safe and shortcuts long chains
-            lookup = propagated.select(
-                F.col("node_id").alias("_n"), F.col("component").alias("_c")
-            )
-            updated = propagated.join(
-                lookup, propagated["component"] == lookup["_n"], "left"
-            ).select(
-                "node_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_c"), F.col("component"))
-                ).alias("component"),
-            )
-            # eager checkpoint = the per-iteration materializing action +
-            # lineage truncation; the convergence sum reads its blocks
-            labels = updated.localCheckpoint(eager=True)
-            cur_sum = labels.agg(F.sum("component")).first()[0]
+            if i >= 2:
+                # pointer jumping: component <- label(component) — labels
+                # only shrink, so composing is safe and it shortcuts long
+                # chains to O(log diameter) rounds. Skipped for the first
+                # two rounds: on small-diameter graphs (the common web
+                # case after the giant component collapses) the extra
+                # self-join is pure overhead
+                lookup = updated.select(
+                    F.col("node_id").alias("_n"), F.col("component").alias("_c")
+                )
+                updated = updated.join(
+                    lookup, updated["component"] == lookup["_n"], "left"
+                ).select(
+                    "node_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_c"), F.col("component")),
+                    ).alias("component"),
+                )
+            # ONE action per iteration: the eager checkpoint materializes
+            # (truncating lineage) and fills the convergence observation
+            obs = Observation(f"cc_sum_{i}")
+            labels = updated.observe(
+                obs, F.sum("component").alias("s")
+            ).localCheckpoint(eager=True)
+            cur_sum = obs.get["s"]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
