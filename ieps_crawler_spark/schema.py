@@ -77,8 +77,22 @@ CRAWL_RESULTS = StructType(
         StructField("wave", IntegerType(), False),
         StructField("fetch_order", LongType(), False),  # per-host rank in wave
         StructField("sched_ts", TimestampType(), True),  # simulated politeness clock
+        StructField("load_time_ms", LongType(), True),  # page.load_time model
         StructField("text", StringType(), True),
         StructField("data_type_code", StringType(), True),  # PDF/DOC/... for DATA
+    ]
+)
+
+# reference page_data/image tables (crawldb.sql:47-70): content persisted
+# only for seed-host assets (download flag)
+ASSETS = StructType(
+    [
+        StructField("page_url", StringType(), True),
+        StructField("asset_url", StringType(), False),
+        StructField("kind", StringType(), False),  # IMG / DATA
+        StructField("content", BinaryType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("n_bytes", LongType(), True),
     ]
 )
 

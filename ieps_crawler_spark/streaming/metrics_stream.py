@@ -75,55 +75,85 @@ SESSION_SCHEMA = (
     "n_events long, total_value double"
 )
 _STATE_SCHEMA = "start long, end long, n long, total double"
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+def _emit(user_id, sessions):
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+            "session_start": pd.Series(
+                [pd.Timestamp(s[0], unit="us") for s in sessions],
+                dtype="datetime64[us]",
+            ),
+            "session_end": pd.Series(
+                [pd.Timestamp(s[1], unit="us") for s in sessions],
+                dtype="datetime64[us]",
+            ),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            "total_value": pd.Series([s[3] for s in sessions], dtype="float64"),
+        }
+    )
 
 
 def _session_fn(key, pdfs, state: GroupState):
+    """Event-time 30-min-gap sessionization — the stateful-stream twin of
+    the batch lag/running-sum query (q_events_sessionize). Within a batch
+    the group's events are sorted by event time and split on gaps;
+    sessions closed by a gap INSIDE the batch emit immediately (a later
+    event beyond the watermark cannot rejoin them), the trailing open
+    session is stored with an event-time timeout at end + gap, and the
+    timeout (watermark passing it) flushes it."""
     (user_id,) = key
-    start, end, n, total = (
-        state.get if state.exists else (None, None, 0, 0.0)
-    )
-    for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1000  # µs
-        lo, hi = int(ts.min()), int(ts.max())
-        start = lo if start is None else min(start, lo)
-        end = hi if end is None else max(end, hi)
-        n += len(pdf)
-        total += float(pdf["value"].sum())
     if state.hasTimedOut:
+        start, end, n, total = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(end, unit="us")],
-                "n_events": [n],
-                "total_value": [total],
-            }
-        )
+        yield _emit(user_id, [(start, end, n, total)])
+        return
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        yield _emit(user_id, [])
+        return
+    ev = pd.concat(chunks)
+    ts = (pd.to_datetime(ev["ts"]).astype("int64") // 1000).to_numpy()  # µs
+    vals = ev["value"].to_numpy(dtype="float64")
+    order = ts.argsort(kind="stable")
+    ts, vals = ts[order], vals[order]
+
+    if state.exists:
+        cur = list(state.get)  # [start, end, n, total]
     else:
-        state.update((start, end, n, total))
-        state.setTimeoutDuration(30_000)
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "session_start": pd.Series([], dtype="datetime64[us]"),
-                "session_end": pd.Series([], dtype="datetime64[us]"),
-                "n_events": pd.Series([], dtype="int64"),
-                "total_value": pd.Series([], dtype="float64"),
-            }
-        )
+        cur = None
+    closed = []
+    for t, v in zip(ts, vals):
+        if cur is not None and t - cur[1] > GAP_US:
+            closed.append(tuple(cur))
+            cur = None
+        if cur is None:
+            cur = [int(t), int(t), 1, float(v)]
+        else:
+            cur[1] = max(cur[1], int(t))
+            cur[2] += 1
+            cur[3] += float(v)
+    state.update(tuple(cur))
+    state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)  # ms epoch
+    yield _emit(user_id, closed)
 
 
-def sessionize_events(events_stream: DataFrame) -> DataFrame:
-    """Custom stateful operator surface: per-user running session state
-    via applyInPandasWithState (processing-time timeout)."""
+def sessionize_events(events_stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator surface: per-user event-time session
+    aggregation via applyInPandasWithState (event-time timeout, so runs
+    are deterministic and bounded triggers terminate — a processing-time
+    timeout keeps availableNow queries alive waiting for wall clock)."""
     return (
-        events_stream.groupBy("user_id")
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
