@@ -25,8 +25,6 @@ candidate pairs.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -61,30 +59,57 @@ def mark_content_duplicates(
 
 # ---------------------------------------------------------------- minhash
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(n_perm: int, seed: int = 42):
+    """Per-permutation (a, b) for the a*h+b mod 2^64 family: odd `a`
+    makes each map a BIJECTION on 64-bit values (a true permutation of
+    the hash space), and mod-2^64 arithmetic is free (native uint64
+    overflow) where the classic Mersenne-prime modulus cost a 64-bit
+    modulo per element — measured as the dominant minhash cost once
+    shingling was vectorized."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
+_POLY_BASE = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — restores high/low-bit quality a
+    plain polynomial hash lacks (simhash votes use individual bits)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= _MIX1
+    h ^= h >> np.uint64(27)
+    h *= _MIX2
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of the k-byte shingles of the normalized
+    text (lowercased, whitespace-collapsed), fully vectorized: rolling
+    polynomial over the utf-8 bytes (k shifted adds — no per-shingle
+    Python loop; the round-1 blake2b-per-shingle version was the
+    dominant cost of the whole minhash/simhash pipeline) + splitmix64
+    mixing, then np.unique for the set semantics. Texts shorter than k
+    hash as one whole-text shingle."""
     if text is None:
         return np.empty(0, dtype=np.uint64)
     t = " ".join(text.lower().split())
-    if len(t) < k:
-        shingles = {t}
-    else:
-        shingles = {t[i : i + k] for i in range(len(t) - k + 1)}
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return _splitmix64(np.zeros(1, dtype=np.uint64))
+    keff = min(k, len(b))
+    n = len(b) - keff + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(keff):
+            h = h * _POLY_BASE + b[j : j + n]
+        return np.unique(_splitmix64(h))
 
 
 def minhash_udf(n_perm: int = 64, shingle_k: int = 5, seed: int = 42):
@@ -92,14 +117,15 @@ def minhash_udf(n_perm: int = 64, shingle_k: int = 5, seed: int = 42):
 
     def _mh(texts: pd.Series) -> pd.Series:
         res = []
-        for t in texts:
-            h = _shingle_hashes(t, shingle_k)
-            if len(h) == 0:
-                res.append([0] * n_perm)
-                continue
-            # (a*h + b) mod p, min per permutation — vectorized outer op
-            vals = (np.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
-            res.append([int(x) for x in vals.min(axis=1).astype(np.int64)])
+        with np.errstate(over="ignore"):
+            for t in texts:
+                h = _shingle_hashes(t, shingle_k)
+                if len(h) == 0:
+                    res.append([0] * n_perm)
+                    continue
+                # (a*h + b) mod 2^64, min per permutation — one outer op
+                vals = a[:, None] * h[None, :] + b[:, None]
+                res.append(vals.min(axis=1).view(np.int64).tolist())
         return pd.Series(res)
 
     return pandas_udf(_mh, ArrayType(LongType()))

@@ -100,19 +100,19 @@ def docs_pdf(spark, sf_dir):
 
 
 def _py_minhash_sigs(docs, n_perm=64, shingle_k=5, seed=42):
-    from ieps_crawler_spark.operators.dedup import (
-        _MERSENNE, _minhash_params, _shingle_hashes,
-    )
+    from ieps_crawler_spark.operators.dedup import _minhash_params, _shingle_hashes
 
     a, b = _minhash_params(n_perm, seed)
     sigs = {}
-    for doc_id, text in docs:
-        h = _shingle_hashes(text, shingle_k)
-        if len(h) == 0:
-            sigs[doc_id] = [0] * n_perm
-        else:
-            vals = (np.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
-            sigs[doc_id] = [int(x) for x in vals.min(axis=1).astype(np.int64)]
+    with np.errstate(over="ignore"):
+        for doc_id, text in docs:
+            h = _shingle_hashes(text, shingle_k)
+            if len(h) == 0:
+                sigs[doc_id] = [0] * n_perm
+            else:
+                # mirror the a*h+b mod 2^64 bijective family
+                vals = np.outer(a, h) + b[:, None]
+                sigs[doc_id] = [int(x) for x in vals.min(axis=1).view(np.int64)]
     return sigs
 
 
