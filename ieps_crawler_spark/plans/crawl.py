@@ -159,6 +159,9 @@ class Crawler:
         resume: bool = False,
     ) -> CrawlStats:
         spark = self.spark
+        # the incremental bloom tracks THIS run's seen set — a second
+        # run() on the same Crawler (fresh or resume) must rebuild it
+        self._bloom = None
         # frontier size comes from the commit manifest's lineage row counts
         # (written at snapshot time) — no extra isEmpty()/count() job per
         # wave; it also drives the small-wave gearbox below
