@@ -57,12 +57,16 @@ def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
     pages_expr, sites, seeds = web_from_documents(
         spark, sf_dir, replicate=replicate, n_hosts=n_hosts, n_seeds=n_seeds
     )
+    # per-config table name: a second config in the same process must not
+    # silently overwrite the table an earlier memo entry still resolves
+    # lazily by name
+    table = f"bench_corpus_{len(_CORPUS_MEMO)}"
     (
         pages_expr.write.mode("overwrite")
         .bucketBy(64, "url").sortBy("url")
-        .saveAsTable("bench_corpus")
+        .saveAsTable(table)
     )
-    pages = spark.table("bench_corpus")
+    pages = spark.table(table)
     n_pages = pages.count()
     # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
     # codegen paths and warms the shuffle machinery so the timed

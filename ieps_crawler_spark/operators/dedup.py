@@ -374,10 +374,16 @@ def embedding_neardup(
     packed = blocked.groupBy("block").applyInPandas(
         _pack, "block int, ids binary, mat binary, dim int"
     )
-    blocks = packed.select("block")
+    # pack ONCE: the grid consumes packed twice (both join sides), and a
+    # lazy plan would re-shuffle + re-pack the whole corpus per consumer;
+    # eager localCheckpoint materializes the blobs a single time
+    packed = packed.localCheckpoint(eager=True)
+    # block ids are 0..n_blocks-1 by construction — build the (i <= j)
+    # grid from a range (empty blocks drop in the inner joins below)
+    blocks = emb.sparkSession.range(n_blocks).select(F.col("id").cast("int"))
     grid = (
-        blocks.select(F.col("block").alias("ba"))
-        .join(blocks.select(F.col("block").alias("bb")), F.col("ba") <= F.col("bb"))
+        blocks.select(F.col("id").alias("ba"))
+        .join(blocks.select(F.col("id").alias("bb")), F.col("ba") <= F.col("bb"))
     )
     paired = (
         grid.join(

@@ -47,20 +47,26 @@ from pyspark.sql.types import (
 BLOOM_SCHEMA = StructType(
     [
         StructField("shard", IntegerType(), False),
+        StructField("n_shards", IntegerType(), False),
         StructField("n_bits", LongType(), False),
         StructField("n_hashes", IntegerType(), False),
         StructField("bits", BinaryType(), False),
     ]
 )
 
+# both base hashes are salted: h1 unsalted would equal the shard hash,
+# and with power-of-two shard counts dividing n_bits the j=0 probe index
+# of every key in a shard would be confined to 1/n_shards of the bit
+# positions — inflating the false-positive rate an order of magnitude
+_H1_SALT = "ieps-bloom-h1"
 _H2_SALT = "ieps-bloom-h2"
 
 
 def _with_hashes(df: DataFrame, url_col: str) -> DataFrame:
     """Two independent 64-bit base hashes, JVM-side (xxhash64 codegen)."""
-    return df.withColumn("_h1", F.xxhash64(url_col)).withColumn(
-        "_h2", F.xxhash64(F.lit(_H2_SALT), F.col(url_col))
-    )
+    return df.withColumn(
+        "_h1", F.xxhash64(F.lit(_H1_SALT), F.col(url_col))
+    ).withColumn("_h2", F.xxhash64(F.lit(_H2_SALT), F.col(url_col)))
 
 
 def _np_hashes(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -127,6 +133,7 @@ def build_bloom(
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0]) if len(pdf) else 0],
+                "n_shards": [n_shards],
                 "n_bits": [nb],
                 "n_hashes": [k],
                 "bits": [bits.tobytes()],
@@ -140,21 +147,34 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     """OR two sharded filters built with the SAME n_bits/n_hashes.
     Cogrouped per shard: each task ORs at most two blobs."""
 
+    cols = [f.name for f in BLOOM_SCHEMA.fields]
+
     def _or(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         rows = pd.concat([left, right])
         if len(rows) == 0:
             return rows
         first = rows.iloc[0]
         if len(rows) == 1:
-            return rows[["shard", "n_bits", "n_hashes", "bits"]]
+            return rows[cols]
         merged = np.zeros(int(first["n_bits"]) // 8, dtype=np.uint8)
         for _, r in rows.iterrows():
-            if int(r["n_bits"]) != int(first["n_bits"]):
-                raise ValueError("merge_blooms: mismatched n_bits")
+            # a mismatched geometry ORs bitmaps whose probe positions
+            # disagree — that is a FALSE NEGATIVE (silent dedup loss),
+            # not an fpp degradation, so it must be an error
+            if (
+                int(r["n_bits"]) != int(first["n_bits"])
+                or int(r["n_hashes"]) != int(first["n_hashes"])
+                or int(r["n_shards"]) != int(first["n_shards"])
+            ):
+                raise ValueError(
+                    "merge_blooms: mismatched filter geometry "
+                    "(n_bits/n_hashes/n_shards must be identical)"
+                )
             merged |= np.frombuffer(r["bits"], dtype=np.uint8)
         return pd.DataFrame(
             {
                 "shard": [int(first["shard"])],
+                "n_shards": [int(first["n_shards"])],
                 "n_bits": [int(first["n_bits"])],
                 "n_hashes": [int(first["n_hashes"])],
                 "bits": [merged.tobytes()],
@@ -178,9 +198,13 @@ def probe_bloom(
     Co-partitioned probe (VERDICT r1 fix): candidates and shard blobs are
     COGROUPED on the shard key, so each task materializes exactly ONE
     blob. A shard group with no blob row (empty shard) is definitely-new
-    by construction."""
+    by construction — which is only sound because ``n_shards`` is read
+    from the filter rows themselves, never inferred from the row count
+    (build_bloom emits rows only for NON-empty shards, so counting rows
+    would mis-shard every candidate whenever any shard came up empty and
+    silently re-enqueue seen URLs)."""
     if n_shards is None:
-        n_shards = bloom.count()  # small table; callers that know pass it
+        n_shards = bloom.select("n_shards").first()["n_shards"]
     cand = _with_hashes(candidates, url_col).withColumn(
         "_shard", F.pmod(F.xxhash64(url_col), F.lit(n_shards)).cast("int")
     )
@@ -244,8 +268,13 @@ def dedup_against_seen(
     seen_urls = seen.withColumnRenamed("canon_url", url_col).select(url_col)
     if bloom is None:
         return candidates.join(seen_urls, url_col, "left_anti")
+    # lazy localCheckpoint, not cache(): both branches (definitely-new and
+    # suspects) consume the probe output, but a cache-manager entry would
+    # outlive the call for library users who never run the crawl driver's
+    # per-wave clearCache — checkpoint blocks are ContextCleaner-freed
+    # when the result is dropped
     flagged = probe_bloom(candidates, bloom, url_col, n_shards=n_shards)
-    flagged.cache()
+    flagged = flagged.localCheckpoint(eager=False)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     # the suspect count itself costs a (cached-probe) job that serializes

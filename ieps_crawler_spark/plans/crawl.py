@@ -118,8 +118,11 @@ class Crawler:
         # fresh start over a reused checkpoint dir: clear EVERY delta table
         # first — the append-only refactor means read_all unions all wave
         # directories, so stale seen_add/hashes_add deltas from a previous
-        # crawl would silently dedup (= never crawl) this run's URLs
+        # crawl would silently dedup (= never crawl) this run's URLs —
+        # AND the snapshot store, whose higher-numbered stale snapshots
+        # would otherwise win latest_wave() on a later resume
         self.deltas.truncate_after(-1)
+        self.store.clear()
         triggers = seed_frontier(spark, seeds)
         # seed-host dim (asset download flag, DomainWorkerActor download
         # semantics): persisted so resume sees the same gate

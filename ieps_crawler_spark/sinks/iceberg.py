@@ -26,21 +26,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of Iceberg catalogs configured on this session (empty in
-    environments without Iceberg jars/config)."""
-    out = []
+    environments without Iceberg jars/config). Enumerates RUNTIME SQL
+    confs via ``SET`` — ``sparkContext.getConf()`` only sees confs fixed
+    at context creation and would miss a catalog registered later with
+    ``spark.conf.set``."""
+    out = set()
     try:
-        confs = spark.sparkContext.getConf().getAll()
+        pairs = [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+        pairs += spark.sparkContext.getConf().getAll()
     except Exception:
-        return out
-    for k, v in confs:
+        return []
+    for k, v in pairs:
         parts = k.split(".")
         # spark.sql.catalog.<name> = <impl class>
         if (
             len(parts) == 4
             and k.startswith("spark.sql.catalog.")
-            and "iceberg" in v.lower()
+            and "iceberg" in str(v).lower()
         ):
-            out.append(parts[3])
+            out.add(parts[3])
     return sorted(out)
 
 
@@ -61,12 +65,14 @@ class IcebergTableSink:
 
     def append_delta(self, name: str, df: DataFrame) -> None:
         """Per-wave delta commit (DeltaLog append equivalent)."""
-        writer = df.writeTo(self._ident(name))
-        try:
-            writer.append()
-        except Exception:
-            # first wave: table does not exist yet
+        if not self.spark.catalog.tableExists(self._ident(name)):
+            # first wave: create carries the initial rows atomically
             df.writeTo(self._ident(name)).using("iceberg").create()
+            return
+        # real append failures (schema drift, permissions, catalog outage)
+        # propagate — a blanket except-and-create would mask them behind a
+        # misleading TableAlreadyExists
+        df.writeTo(self._ident(name)).append()
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.table(self._ident(name))

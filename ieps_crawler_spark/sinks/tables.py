@@ -54,6 +54,16 @@ class SnapshotStore:
                 best = w if best is None or w > best else best
         return best
 
+    def clear(self) -> None:
+        """Drop every snapshot (fresh-start over a reused checkpoint dir).
+        Without this, stale wave=N dirs from a previous crawl survive —
+        and since _gc keeps the highest-numbered snapshots, they would
+        shadow the new crawl's low-numbered ones and a later resume would
+        silently pick the OLD crawl's frontier."""
+        for d in list(os.listdir(self.root)):
+            if d.startswith("wave="):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
     # --------------------------------------------------------------- commit
     def commit_wave(
         self,

@@ -98,12 +98,23 @@ def _emit(user_id, sessions):
 
 def _session_fn(key, pdfs, state: GroupState):
     """Event-time 30-min-gap sessionization — the stateful-stream twin of
-    the batch lag/running-sum query (q_events_sessionize). Within a batch
-    the group's events are sorted by event time and split on gaps;
-    sessions closed by a gap INSIDE the batch emit immediately (a later
-    event beyond the watermark cannot rejoin them), the trailing open
-    session is stored with an event-time timeout at end + gap, and the
-    timeout (watermark passing it) flushes it."""
+    the batch lag/running-sum query (q_events_sessionize).
+
+    Each invocation merges the stored open session (an interval with
+    counts) and the batch's events by INTERVAL sessionization: sort
+    everything by start time, merge adjacent items whose gap ≤ GAP. This
+    handles cross-batch out-of-order arrivals on either side of the
+    stored session (an event BEFORE the stored start lowers it or forms
+    its own earlier session — a naive 'extend the end' fold mislabeled
+    both). All merged sessions except the time-wise last emit
+    immediately; the last stays open with an event-time timeout at
+    end + gap, flushed when the watermark passes it.
+
+    Contract: output equals the batch twin when each user's sessions are
+    not SPLIT across micro-batches by late arrivals — an already-emitted
+    session cannot be amended in append mode (the standard watermarked
+    append-mode limitation; within-watermark stragglers instead surface
+    as separate small sessions rather than being dropped)."""
     (user_id,) = key
     if state.hasTimedOut:
         start, end, n, total = state.get
@@ -119,26 +130,23 @@ def _session_fn(key, pdfs, state: GroupState):
     ts = (pd.to_datetime(ev["ts"]).astype("int64") // 1000).to_numpy()  # µs
     vals = ev["value"].to_numpy(dtype="float64")
     order = ts.argsort(kind="stable")
-    ts, vals = ts[order], vals[order]
-
+    items = [[int(t), int(t), 1, float(v)] for t, v in zip(ts[order], vals[order])]
     if state.exists:
-        cur = list(state.get)  # [start, end, n, total]
-    else:
-        cur = None
-    closed = []
-    for t, v in zip(ts, vals):
-        if cur is not None and t - cur[1] > GAP_US:
-            closed.append(tuple(cur))
-            cur = None
-        if cur is None:
-            cur = [int(t), int(t), 1, float(v)]
+        items.append(list(state.get))  # [start, end, n, total]
+        items.sort(key=lambda s: (s[0], s[1]))
+    merged = []
+    for it in items:
+        if merged and it[0] - merged[-1][1] <= GAP_US:
+            last = merged[-1]
+            last[1] = max(last[1], it[1])
+            last[2] += it[2]
+            last[3] += it[3]
         else:
-            cur[1] = max(cur[1], int(t))
-            cur[2] += 1
-            cur[3] += float(v)
+            merged.append(it)
+    cur = merged[-1]
     state.update(tuple(cur))
     state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)  # ms epoch
-    yield _emit(user_id, closed)
+    yield _emit(user_id, [tuple(s) for s in merged[:-1]])
 
 
 def sessionize_events(events_stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -50,8 +50,10 @@ def test_fresh_start_clears_stale_deltas(spark, setup, tmp_path):
     would silently dedup this run's URLs (ADVICE r1)."""
     corpus, pages, sites, bodies = setup
     ckpt = str(tmp_path / "reused")
+    # the stale crawl runs LONGER than the fresh one so its leftover
+    # higher-numbered snapshots would be distinguishable contamination
     first = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60)
-    first.run(seeds=corpus["seeds"], max_waves=3)
+    first.run(seeds=corpus["seeds"], max_waves=5)
     stale_results = first.results().count()
     assert stale_results > 0
 
@@ -65,6 +67,15 @@ def test_fresh_start_clears_stale_deltas(spark, setup, tmp_path):
     cols = ["url", "page_type", "http_status", "content_hash", "wave", "fetch_order"]
     a = clean.results().select(cols).sort("url").collect()
     b = fresh.results().select(cols).sort("url").collect()
+    assert a == b
+    # stale SNAPSHOTS must be gone too: resuming the reused dir must
+    # continue the fresh crawl, not the first crawl's higher-numbered
+    # frontier (the first run's wave-3 snapshot would otherwise win)
+    resumed = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60)
+    resumed.run(resume=True, max_waves=5)
+    clean.run(resume=True, max_waves=5)
+    a = clean.results().select(cols).sort("url").collect()
+    b = resumed.results().select(cols).sort("url").collect()
     assert a == b
 
 

@@ -72,6 +72,70 @@ def test_metrics_stream_equals_batch(spark, results_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A later micro-batch delivering an event BEFORE the stored open
+    session must not fold it into that session (the pre-review fold
+    produced a session whose start postdated one of its events). With
+    interval merging it forms its own correctly-bounded session."""
+    from ieps_crawler_spark.streaming.metrics_stream import sessionize_events
+
+    src = str(tmp_path / "src")
+    base = "2024-01-01 00:00:00"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write(part, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(src, part)
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # after this batch: session [t0] emitted (gap 40 > 30), open = [t+40];
+    # watermark = t+10
+    write("p0", [(1, t0, 7, "a", 1.0), (2, t0 + 40 * m, 7, "a", 2.0)])
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            sessionize_events(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run_pass()
+    # within-watermark straggler (t+20 > watermark t+10) BEFORE the open
+    # session's start t+40: must EXTEND the open interval to [t+20, t+40]
+    # — the pre-review fold kept start=t+40 while absorbing the event
+    write("p1", [(3, t0 + 20 * m, 7, "a", 4.0)])
+    run_pass()
+    # sentinel flushes the open tail
+    write("p2", [(9, t0 + dt.timedelta(days=10), -1, "a", 0.0)])
+    run_pass()
+
+    rows = sorted(
+        (
+            (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+            for r in spark.read.parquet(str(tmp_path / "out")).filter(
+                F.col("user_id") == 7
+            ).collect()
+        )
+    )
+    assert rows == [
+        (t0, t0, 1, 1.0),
+        (t0 + 20 * m, t0 + 40 * m, 2, 6.0),
+    ]
+
+
 def _batch_sessions(pdf, gap_us=30 * 60 * 1_000_000):
     """Pure-pandas twin of the 30-min-gap sessionization."""
     out = {}
