@@ -375,12 +375,23 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only: blake2b shingles)."""
-    from ieps_crawler_spark.operators.dedup import minhash_lsh_dedup
+    """MinHash+LSH near-dup pipeline, generate -> verify: banded-bucket
+    join proposes candidates (est byte-shingle jaccard >= 0.5), then the
+    exact word-3-gram Jaccard verifies them — the full two-stage dedup a
+    training pipeline runs. Output = verified pairs (jaccard >= 0.5), so
+    the DuckDB oracle is the ALL-PAIRS exact Jaccard set: equality also
+    evidences LSH recall 1.0 on this corpus (the est>=0.5 candidate set
+    covers every true pair — measured, not assumed)."""
+    from ieps_crawler_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    cand = minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return (
+        ngram_jaccard_pairs(docs, cand, "text", "doc_id", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -842,6 +853,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_lsh": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1)),
+                       i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')
+                     )) AS grams
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+                     6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
         """,
         "dedup_ngram_jaccard": r"""
             WITH g AS (
