@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)"
 
@@ -71,6 +71,45 @@ def hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return pandas_udf(_sig, LongType())
 
 
+def probe_sigs_udf(dim: int, n_planes: int, seed: int, n_probe: int):
+    """Query-directed multi-probe (Lv et al., VLDB'07 shape): a vector
+    near a hyperplane could land on either side, so the best alternate
+    buckets to probe are sign-flips of the LOWEST-|margin| bits. Emits
+    the home bucket plus the n_probe cheapest perturbations, where a
+    perturbation is a subset (size ≤ 3) of the ~10 lowest-margin bits
+    ranked by summed margin — strictly better recall per probe than
+    fixed-position bit flips at identical join cost (the corpus side
+    stays bucketed once either way)."""
+    import itertools
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    def _probes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            p = planes @ a
+            sig = int((p > 0).dot(1 << np.arange(n_planes)))
+            absp = np.abs(p)
+            order = np.argsort(absp)[: min(n_planes, 10)]
+            cands = []
+            for r in (1, 2, 3):
+                if r > len(order):
+                    break
+                for comb in itertools.combinations(range(len(order)), r):
+                    picked = order[list(comb)]
+                    mask = 0
+                    for b in picked:
+                        mask |= 1 << int(b)
+                    cands.append((float(absp[picked].sum()), sig ^ mask))
+            cands.sort()
+            out.append([sig] + [b for _, b in cands[:n_probe]])
+        return pd.Series(out)
+
+    return pandas_udf(_probes, ArrayType(LongType()))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -85,9 +124,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
-    ``multiprobe`` > 0 additionally probes that many hamming-distance-1
-    neighbor buckets (bit-flips of the query signature, JVM-side explode)
-    — the standard recall knob: cost grows linearly with probes while the
+    ``multiprobe`` > 0 additionally probes that many query-directed
+    neighbor buckets (lowest-margin sign flips, see probe_sigs_udf) —
+    the standard recall knob: cost grows linearly with probes while the
     corpus side stays bucketed once. Recall measured against
     brute_force_topk in tests/test_similarity.py and BENCH.md."""
     sig = hyperplane_sig_udf(dim, n_planes, seed)
@@ -96,13 +135,12 @@ def lsh_topk(
     ).withColumn("bucket", sig("cvec"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket", sig("qvec"))
+    )
     if multiprobe > 0:
-        flips = [
-            F.col("bucket").bitwiseXOR(F.lit(1 << i))
-            for i in range(min(multiprobe, n_planes))
-        ]
-        q = q.withColumn("bucket", F.explode(F.array(F.col("bucket"), *flips)))
+        probes = probe_sigs_udf(dim, n_planes, seed, multiprobe)
+        q = q.withColumn("bucket", F.explode(probes("qvec")))
+    else:
+        q = q.withColumn("bucket", sig("qvec"))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", _cosine("cvec", "qvec").alias("cosine")
     )

@@ -88,9 +88,11 @@ def _assert_scores_exact(got, emb_pdf):
             assert abs(c - float(Mn[pos[v]] @ qv)) < 1e-6
 
 
-# Measured recall@10 on the sf0.001 embeddings (500 vecs, 64 dims, 5 queries):
-#   lsh planes=4 mp=0 0.14 | mp=4 0.42      planes=8 mp=0 0.12 | mp=8 0.18
-#   ivf lists=8 probe=3 0.68 | probe=4 0.76  lists=16 probe=4 0.50
+# Measured recall@10 on the sf0.001 embeddings (500 vecs, 64 dims, 25
+# queries, query-directed multiprobe):
+#   lsh planes=4 mp=0 0.20 | mp=4 0.47 | mp=8 0.71
+#   lsh planes=8 mp=0 0.12 | mp=8 0.21 | mp=16 0.29
+#   ivf lists=8 probe=3 0.68 | probe=4 0.77   lists=16 probe=8 0.78
 # Single-probe LSH is candidate-starved at 2^planes buckets over a 500-row
 # corpus — the floors below assert the measured behavior with margin, and
 # the multiprobe/IVF paths carry the real recall story (also in BENCH.md).
