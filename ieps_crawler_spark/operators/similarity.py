@@ -60,12 +60,14 @@ def hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 42):
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
 
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
     def _sig(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
-            a = np.asarray(v, dtype=np.float64)
-            bits = (planes @ a) > 0
-            out[i] = int(bits.dot(1 << np.arange(n_planes)))
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        # one matmul per Arrow batch, not per row
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = ((M @ planes.T) > 0) @ weights
         return pd.Series(out, dtype="int64")
 
     return pandas_udf(_sig, LongType())
@@ -152,14 +154,16 @@ def lsh_topk(
 
 
 def _assign_udf(centroids: np.ndarray):
+    norms = np.linalg.norm(centroids, axis=1)
+
     def _assign(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int32)
-        norms = np.linalg.norm(centroids, axis=1)
-        for i, v in enumerate(vecs):
-            a = np.asarray(v, dtype=np.float64)
-            sims = centroids @ a / (norms * (np.linalg.norm(a) or 1.0))
-            out[i] = int(np.argmax(sims))
-        return pd.Series(out, dtype="int32")
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        # batch matmul; row norms cancel in the argmax so only centroid
+        # norms matter
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.argmax((M @ centroids.T) / norms[None, :], axis=1)
+        return pd.Series(out.astype(np.int32), dtype="int32")
 
     return pandas_udf(_assign, IntegerType())
 
