@@ -208,10 +208,7 @@ def simhash_udf(shingle_k: int = 4):
                 continue
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
             v = bits.sum(axis=0) * 2 - len(h)  # +1/-1 vote per bit
-            sim = 0
-            for i in range(64):
-                if v[i] > 0:
-                    sim |= 1 << i
+            sim = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
             out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
         return pd.Series(out, dtype="int64")
 
