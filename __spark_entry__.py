@@ -396,7 +396,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs via pigeonhole blocking (rows-only)."""
+    """SimHash near-dup pairs via pigeonhole blocking. Oracle-verified:
+    simhash64 is integer-only JVM arithmetic (md5 token hashes) and
+    4-segment blocking is exact for hamming ≤ 3, so the DuckDB all-pairs
+    recomputation is a true equality oracle."""
     from ieps_crawler_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id", 3)
@@ -443,28 +446,41 @@ def q_similarity_bruteforce_topk(spark, sf_dir):
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k with hamming-1
-    multi-probe (rows-only; recall vs brute force measured in
-    tests/test_similarity.py and BENCH.md)."""
+    """Hyperplane-LSH bucketed approximate top-k with query-directed
+    multi-probe. Oracle-verified end-to-end: the JVM engine computes
+    signatures/probes with catalyst fold-dot expressions from the seeded
+    plane constants, and the DuckDB twin replays the identical algorithm
+    (same planes as literals, same subset-mask probe ranking). Recall vs
+    brute force additionally measured in tests/test_similarity.py."""
     from ieps_crawler_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, dim=dim, k=10, n_planes=4, multiprobe=4)
+    # dim=64: the testdata embeddings schema (TESTDATA.md); the oracle's
+    # plane literals are generated for the same (dim, n_planes, seed)
+    return lsh_topk(
+        emb, q, dim=64, k=10, n_planes=4, multiprobe=4, engine="jvm"
+    ).select("query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine"))
+
+
+_IVF_CENTROID_IDS = [7, 63, 119, 175, 231, 287, 343, 399]
 
 
 def q_similarity_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized approximate top-k (rows-only)."""
+    """IVF coarse-quantized approximate top-k with a fixed codebook
+    (centroids = corpus rows, list = argmax cosine) — pure DataFrame
+    pipeline, oracle-verified by an exact DuckDB replay."""
     from ieps_crawler_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, q, k=10, n_lists=8, n_probe=3)
+    return ivf_topk(
+        emb, q, k=10, n_probe=3, centroid_ids=_IVF_CENTROID_IDS
+    ).select("query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine"))
 
 
 # ----------------------------------------------------------- multimodal ops
@@ -679,6 +695,159 @@ _SL_PAT = r"\b(in|je|na|za|se|da|so|ki|pri|tudi)\b"
 _EN_PAT = r"\b(the|and|of|to|in|is|that|for|with|as)\b"
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of operators.dedup.simhash64 + pigeonhole dedup: the
+    Spark side is integer-only JVM arithmetic (md5 token hash, bit votes),
+    so this all-pairs recomputation is an exact oracle — and because
+    4-segment blocking has recall 1.0 for hamming ≤ 3, the blocked Spark
+    result equals the all-pairs set."""
+    vcols = ",\n                     ".join(
+        f"sum((({'hi' if b >= 32 else 'lo'} >> {b % 32}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    hterms = "\n                   + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+              FROM toks
+            ), v AS (
+              SELECT doc_id, {vcols}
+              FROM h GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN hug >= 9223372036854775808::HUGEINT
+                               THEN hug - 18446744073709551616::HUGEINT
+                               ELSE hug END AS BIGINT) AS sim
+              FROM (SELECT doc_id, ({hterms}) AS hug FROM v)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """
+
+
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB replay of the JVM lsh_topk pipeline: same seeded hyperplanes
+    (as e-notation DOUBLE literals), same sign-bit signature, same
+    subset-mask multiprobe ranked by (summed |margin|, bucket)."""
+    import itertools
+
+    from ieps_crawler_spark.operators.similarity import _plane_matrix
+
+    planes = _plane_matrix(dim, n_planes, seed=42)
+    lits = [
+        "[" + ", ".join(f"{x:.17e}" for x in p) + "]" for p in planes
+    ]
+    mcols = ",\n                     ".join(
+        f"list_dot_product(v, {lits[i]}) AS m{i}" for i in range(n_planes)
+    )
+    sig = " + ".join(
+        f"CASE WHEN m{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(n_planes)
+    )
+    masks = []
+    for r in (1, 2, 3):
+        if r > n_planes:
+            break
+        masks += [
+            sum(1 << b for b in comb)
+            for comb in itertools.combinations(range(n_planes), r)
+        ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    score = "\n                   + ".join(
+        f"CASE WHEN mask & {1 << i} > 0 THEN abs(m{i}) ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            m AS (SELECT vec_id, v,
+                     {mcols}
+                  FROM e),
+            sg AS (SELECT *, CAST({sig} AS BIGINT) AS sig FROM m),
+            q AS (SELECT * FROM sg WHERE vec_id % 100 = 0),
+            masks(mask) AS (VALUES {mask_rows}),
+            cand AS (
+              SELECT q.vec_id AS query_id, q.v AS qv,
+                     {score} AS score,
+                     xor(q.sig, mask::BIGINT) AS bucket
+              FROM q CROSS JOIN masks),
+            probes AS (
+              SELECT query_id, qv, bucket FROM (
+                SELECT query_id, qv, bucket,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score, bucket) AS pr
+                FROM cand) WHERE pr <= {n_probe}
+              UNION ALL
+              SELECT vec_id AS query_id, v AS qv, sig AS bucket FROM q),
+            scored AS (
+              SELECT p.query_id, c.vec_id,
+                     list_dot_product(c.v, p.qv)
+                     / nullif(sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(p.qv, p.qv)), 0) AS cos
+              FROM probes p JOIN sg c ON p.bucket = c.sig)
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= {k}
+        """
+
+
+def _ivf_oracle_sql(n_probe: int = 3, k: int = 10) -> str:
+    """DuckDB replay of the fixed-codebook ivf_topk: centroids are the
+    embeddings rows with _IVF_CENTROID_IDS (list j = list position),
+    assignment = argmax dot(v, c)/|c| with lowest-j ties, probing = the
+    n_probe nearest lists per query, exact cosine top-k within them."""
+    cmap_rows = ", ".join(f"({cid}, {j})" for j, cid in enumerate(_IVF_CENTROID_IDS))
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cmap(cid, j) AS (VALUES {cmap_rows}),
+            cents AS (SELECT j, v AS cv FROM e JOIN cmap ON vec_id = cid),
+            ax AS (
+              SELECT e.vec_id, e.v, c.j,
+                     -(list_dot_product(e.v, c.cv)
+                       / sqrt(list_dot_product(c.cv, c.cv))) AS ns
+              FROM e CROSS JOIN cents c),
+            assigned AS (
+              SELECT vec_id, v, j AS list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY ns, j) AS rn
+                FROM ax) WHERE rn = 1),
+            qp AS (
+              SELECT query_id, qv, list_id FROM (
+                SELECT vec_id AS query_id, v AS qv, j AS list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ns, j) AS rn
+                FROM ax WHERE vec_id % 100 = 0) WHERE rn <= {n_probe}),
+            scored AS (
+              SELECT q.query_id, a.vec_id,
+                     list_dot_product(a.v, q.qv)
+                     / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)), 0) AS cos
+              FROM qp q JOIN assigned a USING (list_id))
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_canonicalize": r"""
@@ -870,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
         """,
+        "dedup_simhash": _simhash_oracle_sql(),
         "dedup_ngram_jaccard": r"""
             WITH g AS (
               SELECT doc_id,
@@ -925,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 10
         """,
+        "similarity_lsh_topk": _lsh_oracle_sql(),
+        "similarity_ivf_topk": _ivf_oracle_sql(),
         "multimodal_media_meta": r"""
             SELECT 'media://d' || doc_id AS url,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

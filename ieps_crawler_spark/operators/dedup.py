@@ -198,21 +198,48 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------- simhash
 
 
-def simhash_udf(shingle_k: int = 4):
-    def _sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t, shingle_k)
-            if len(h) == 0:
-                out.append(0)
-                continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            v = bits.sum(axis=0) * 2 - len(h)  # +1/-1 vote per bit
-            sim = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
-        return pd.Series(out, dtype="int64")
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sim): 64-bit simhash over the DISTINCT lowercased whitespace
+    tokens of ``text_col`` (token-feature simhash à la Manku et al.,
+    WWW'07 — the reference itself has no near-dup stage, see module
+    docstring). Token hash = first 16 hex chars of md5 interpreted as an
+    unsigned 64-bit integer; simhash bit b is set iff the +1/-1 votes of
+    bit b across token hashes sum positive.
 
-    return pandas_udf(_sh, LongType())
+    Entirely JVM-side (split/md5/conv/shift + one hash aggregate with 64
+    partial sums — whole-stage codegen, map-side combine), so the result
+    is integer-deterministic and the DuckDB oracle in __spark_entry__
+    recomputes it exactly. Docs with no tokens (empty text) drop out.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hhex = F.md5("tok")
+    t = toks.select(
+        "id",
+        F.conv(F.substring(hhex, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hhex, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = [
+        F.sum(
+            F.shiftrightunsigned(F.col("hi" if b >= 32 else "lo"), b % 32)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    v = t.groupBy("id").agg(*votes)
+    # bit 63 contributes Long.MIN_VALUE (two's complement) so the packed
+    # value stays a plain signed 64-bit long
+    sim = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit((1 << b) if b < 63 else -(1 << 63))
+        ).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return v.select("id", sim.alias("sim"))
 
 
 def simhash_dedup(
@@ -224,8 +251,10 @@ def simhash_dedup(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
     blocking: split 64 bits into 4 segments — any pair within hamming 3
     agrees exactly on ≥1 segment, so candidates = same-segment-value
-    join (no O(n²))."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_udf()(text_col).alias("sim"))
+    join (no O(n²)). Blocking is EXACT for max_hamming ≤ 3 (recall 1.0
+    by the pigeonhole principle), which is what lets the DuckDB all-pairs
+    oracle verify this query end-to-end."""
+    sh = simhash64(df, text_col, id_col)
     seg = sh.select(
         "id",
         "sim",

@@ -112,6 +112,72 @@ def probe_sigs_udf(dim: int, n_planes: int, seed: int, n_probe: int):
     return pandas_udf(_probes, ArrayType(LongType()))
 
 
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def _dot_plane(vec_col: str, plane: np.ndarray) -> F.Column:
+    """Strict left-fold dot(vec, literal plane) — same fold shape as _DOT
+    so the DuckDB oracle's sequential list_dot_product agrees."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_sig(
+    df: DataFrame, vec_col: str, planes: np.ndarray, keep_margins: bool = False
+) -> DataFrame:
+    """Add `_sig` (sign-bit bucket) computed from per-plane margin columns
+    `_m{i}`; margins are computed once and optionally kept for multiprobe."""
+    n = len(planes)
+    out = df.select(
+        "*", *[_dot_plane(vec_col, planes[i]).alias(f"_m{i}") for i in range(n)]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(n):
+        sig = sig + F.when(F.col(f"_m{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    out = out.withColumn("_sig", sig)
+    return out if keep_margins else out.drop(*[f"_m{i}" for i in range(n)])
+
+
+def _jvm_probe_buckets(planes: np.ndarray, n_probe: int) -> F.Column:
+    """JVM twin of probe_sigs_udf for small n_planes: enumerate every
+    nonempty bit subset of size ≤ 3, score = summed |margin|, keep the
+    home bucket plus the n_probe cheapest perturbations. Pure catalyst
+    array/struct expressions (whole-stage codegen, SQL-expressible)."""
+    import itertools
+
+    n = len(planes)
+    masks = []
+    for r in (1, 2, 3):
+        if r > n:
+            break
+        masks += [
+            sum(1 << b for b in comb)
+            for comb in itertools.combinations(range(n), r)
+        ]
+    cands = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.abs(F.col(f"_m{b}")) for b in range(n) if mask & (1 << b)),
+                    start=F.lit(0.0),
+                ).alias("score"),
+                F.col("_sig").bitwiseXOR(F.lit(mask)).alias("bucket"),
+            )
+            for mask in masks
+        ]
+    )
+    flips = F.transform(
+        F.slice(F.sort_array(cands), 1, n_probe), lambda s: s["bucket"]
+    )
+    return F.concat(F.array(F.col("_sig")), flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,6 +189,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     multiprobe: int = 0,
+    engine: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -130,25 +197,114 @@ def lsh_topk(
     neighbor buckets (lowest-margin sign flips, see probe_sigs_udf) —
     the standard recall knob: cost grows linearly with probes while the
     corpus side stays bucketed once. Recall measured against
-    brute_force_topk in tests/test_similarity.py and BENCH.md."""
-    sig = hyperplane_sig_udf(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("bucket", sig("cvec"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    if multiprobe > 0:
-        probes = probe_sigs_udf(dim, n_planes, seed, multiprobe)
-        q = q.withColumn("bucket", F.explode(probes("qvec")))
+    brute_force_topk in tests/test_similarity.py and BENCH.md.
+
+    ``engine``: 'jvm' computes signatures/probes with catalyst fold-dot
+    expressions (deterministic across engines → DuckDB-oracle-able, and
+    no Python in the plan); 'numpy' uses the Arrow-batched matmul UDFs
+    (wins for large n_planes); 'auto' picks jvm when n_planes ≤ 8.
+    Both paths produce identical buckets (asserted in tests)."""
+    use_jvm = engine == "jvm" or (engine == "auto" and n_planes <= 8)
+    if use_jvm:
+        planes = _plane_matrix(dim, n_planes, seed)
+        c = _with_sig(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")),
+            "cvec",
+            planes,
+        ).withColumnRenamed("_sig", "bucket")
+        q = _with_sig(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            ),
+            "qvec",
+            planes,
+            keep_margins=multiprobe > 0,
+        )
+        if multiprobe > 0:
+            q = q.withColumn(
+                "bucket", F.explode(_jvm_probe_buckets(planes, multiprobe))
+            )
+        else:
+            q = q.withColumnRenamed("_sig", "bucket")
+        q = q.select("query_id", "qvec", "bucket")
     else:
-        q = q.withColumn("bucket", sig("qvec"))
+        sig = hyperplane_sig_udf(dim, n_planes, seed)
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ).withColumn("bucket", sig("cvec"))
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        if multiprobe > 0:
+            probes = probe_sigs_udf(dim, n_planes, seed, multiprobe)
+            q = q.withColumn("bucket", F.explode(probes("qvec")))
+        else:
+            q = q.withColumn("bucket", sig("qvec"))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", _cosine("cvec", "qvec").alias("cosine")
     )
     if multiprobe > 0:
         # a candidate can share several probed buckets with the query
         scored = scored.dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    centroid_ids: list,
+) -> DataFrame:
+    """Fixed-codebook IVF (see ivf_topk). Assignment score is
+    dot(v, c)/|c| (the row norm cancels in the argmax); ties break to the
+    lowest list index, mirrored exactly by the oracle's ORDER BY ns, j.
+    The argmax is a min-struct aggregate — one map-side-combinable
+    shuffle, no window over the corpus."""
+    spark = corpus.sparkSession
+    cmap = spark.createDataFrame(
+        [(int(i), j) for j, i in enumerate(centroid_ids)], "cid long, j int"
+    )
+    cents = (
+        corpus.join(F.broadcast(cmap), F.col(id_col) == F.col("cid"))
+        .select("j", F.col(vec_col).alias("cv"))
+    )
+    # negated similarity: min(struct(ns, j, …)) = argmax sim, lowest-j ties;
+    # j is unique so comparison never reaches the carried vector field
+    ns = -(
+        F.expr(_DOT.format(a="cvec", b="cv"))
+        / F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    ax = c.join(F.broadcast(cents)).select(
+        "vec_id", "cvec", "j", ns.alias("ns")
+    )
+    assigned = (
+        ax.groupBy("vec_id")
+        .agg(F.min(F.struct("ns", "j", "cvec")).alias("s"))
+        .select("vec_id", F.col("s.j").alias("list_id"), F.col("s.cvec").alias("cvec"))
+    )
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qns = -(
+        F.expr(_DOT.format(a="qvec", b="cv"))
+        / F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    )
+    qx = q0.join(F.broadcast(cents)).select("query_id", "qvec", "j", qns.alias("ns"))
+    wq = Window.partitionBy("query_id").orderBy("ns", "j")
+    qp = (
+        qx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", F.col("j").alias("list_id"))
+    )
+    scored = assigned.join(F.broadcast(qp), "list_id").select(
+        "query_id", "vec_id", _cosine("cvec", "qvec").alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -178,10 +334,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroid_ids: list | None = None,
 ) -> DataFrame:
     """IVF: seeded-sample centroids, corpus → nearest list, query probes
     its n_probe nearest lists. Centroid fit is one small driver-side
-    numpy step over a bounded sample (not a collect of the corpus)."""
+    numpy step over a bounded sample (not a collect of the corpus).
+
+    ``centroid_ids``: fixed-codebook mode — the coarse quantizer is the
+    corpus rows with these ids (list j = position in the list), no k-means
+    fit. The whole pipeline is then pure DataFrame ops (broadcast centroid
+    join + min-struct argmax, zero driver materialization) and exactly
+    SQL-expressible, which is how the DuckDB oracle verifies it."""
+    if centroid_ids is not None:
+        return _ivf_topk_fixed(
+            corpus, queries, k, n_probe, id_col, vec_col, query_id_col, centroid_ids
+        )
     sample = np.array(
         corpus.select(vec_col)
         .sample(fraction=1.0, seed=seed)

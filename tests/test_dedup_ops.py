@@ -184,23 +184,29 @@ def test_minhash_lsh_finds_planted_neardups(spark, docs_pdf):
 # ----------------------------------------------------------------- simhash
 
 
-def _py_simhash(text, shingle_k=4):
-    from ieps_crawler_spark.operators.dedup import _shingle_hashes
+def _py_simhash(text):
+    """Independent reimplementation of dedup.simhash64: md5-token-hash
+    simhash over distinct lowercased whitespace tokens."""
+    import hashlib
 
-    h = _shingle_hashes(text, shingle_k)
-    if len(h) == 0:
+    toks = {w for w in (text or "").lower().split() if w}
+    if not toks:
         return 0
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-    v = bits.sum(axis=0) * 2 - len(h)
+    v = [0] * 64
+    for w in toks:
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+        for b in range(64):
+            v[b] += 1 if (h >> b) & 1 else -1
     sim = 0
-    for i in range(64):
-        if v[i] > 0:
-            sim |= 1 << i
+    for b in range(64):
+        if v[b] > 0:
+            sim |= 1 << b
     return sim - (1 << 64) if sim >= (1 << 63) else sim
 
 
 def _py_simhash_pairs(docs, max_hamming=3):
-    sims = {d: _py_simhash(t) for d, t in docs}
+    # simhash64 drops docs with no tokens (inner semantics)
+    sims = {d: _py_simhash(t) for d, t in docs if (t or "").split()}
     cand = set()
     for seg in range(4):
         buckets = {}

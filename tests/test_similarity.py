@@ -132,3 +132,35 @@ def test_ivf_topk_recall_and_scores(emb, queries, exact):
     _assert_scores_exact(got, emb.select("vec_id", "embedding").toPandas())
     r = _recall(got, exact)
     assert r >= 0.6, f"IVF recall too low: {r:.3f}"
+
+
+def test_lsh_jvm_engine_matches_numpy(emb, queries):
+    """The catalyst-expression LSH path (oracle twin) and the Arrow/numpy
+    path must produce identical buckets and therefore identical top-k."""
+    from ieps_crawler_spark.operators.similarity import lsh_topk
+
+    def run(engine):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in lsh_topk(
+                emb, queries, dim=64, k=K, n_planes=4, multiprobe=4, engine=engine
+            ).collect()
+        )
+
+    assert run("jvm") == run("numpy")
+
+
+def test_ivf_fixed_codebook_recall(emb, queries, exact):
+    """Fixed-codebook IVF (the oracle-verified mode) keeps useful recall
+    and exact cosine scores."""
+    from ieps_crawler_spark.operators.similarity import ivf_topk
+
+    got = _by_query(
+        ivf_topk(
+            emb, queries, k=K, n_probe=3,
+            centroid_ids=[7, 63, 119, 175, 231, 287, 343, 399],
+        ).collect()
+    )
+    _assert_scores_exact(got, emb.select("vec_id", "embedding").toPandas())
+    r = _recall(got, exact)
+    assert r >= 0.3, f"fixed-codebook IVF recall too low: {r:.3f}"
