@@ -168,31 +168,27 @@ def minhash_lsh_dedup(
     ).select("id", "sig", "bk.band", "bk.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = cand.withColumn(
-        "est_jaccard",
+    est = (
         F.expr(
-            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1D, 0D)), 0D, (acc, v) -> acc + v)"
+            "aggregate(zip_with(l.sig, r.sig, (x, y) -> IF(x = y, 1D, 0D)), 0D, (acc, v) -> acc + v)"
         )
-        / F.lit(float(n_perm)),
+        / F.lit(float(n_perm))
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
-    )
+    # estimate filter INSIDE the join output, BEFORE the pair-dedup
+    # shuffle: sub-threshold candidates die in the join task instead of
+    # shuffling (the estimate is a cheap JVM zip_with; the dropDuplicates
+    # shuffle is the expensive part)
+    cand = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        est.alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+    return cand.dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------- simhash
@@ -271,27 +267,25 @@ def simhash_dedup(
         ).alias("s"),
     ).select("id", "sim", "s.seg", "s.val")
     l, r = seg.alias("l"), seg.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.seg") == F.col("r.seg"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sim").alias("sim_a"),
-            F.col("r.sim").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # hamming test INSIDE the join predicate: far pairs die in the join
+    # task, so only near pairs (plus their ≤4-segment multiplicity) reach
+    # the dropDuplicates shuffle — on a low-entropy corpus the candidate
+    # set can be 10×+ the near set, and shuffling it would dominate
+    cand = l.join(
+        r,
+        (F.col("l.seg") == F.col("r.seg"))
+        & (F.col("l.val") == F.col("r.val"))
+        & (F.col("l.id") < F.col("r.id"))
+        & (
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
+            <= max_hamming
+        ),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cand.dropDuplicates(["id_a", "id_b"])
 
 
 # ----------------------------------------------------------- ngram jaccard
