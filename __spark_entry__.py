@@ -485,19 +485,55 @@ def q_similarity_ivf_topk(spark, sf_dir):
 
 # ----------------------------------------------------------- multimodal ops
 
-def q_multimodal_media_meta(spark, sf_dir):
-    """Binary media columns -> typed metadata via Arrow mapInPandas."""
-    from ieps_crawler_spark.operators.multimodal import extract_media_meta
-
+def _media_frame(spark, sf_dir):
+    """documents → synthetic binary-media frame (url, content, kind)."""
     d = F.col("doc_id")
-    media = _read(spark, sf_dir, "documents").select(
+    return _read(spark, sf_dir, "documents").select(
         F.concat(F.lit("media://d"), d.cast("string")).alias("url"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.when(d % 3 == 0, "image").when(d % 3 == 1, "audio")
         .otherwise("video").alias("kind"),
     )
-    return extract_media_meta(media, "url", "content", "kind").select(
-        "url", "kind", "n_bytes", "content_hash"
+
+
+def q_multimodal_media_meta(spark, sf_dir):
+    """Binary media columns -> typed metadata via Arrow mapInPandas."""
+    from ieps_crawler_spark.operators.multimodal import extract_media_meta
+
+    return extract_media_meta(
+        _media_frame(spark, sf_dir), "url", "content", "kind"
+    ).select("url", "kind", "n_bytes", "content_hash")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage plumbing (bytes in → bytes out through one Arrow
+    pass); the deterministic stub resizer is recomputed exactly by the
+    DuckDB oracle (repeat(sha256(payload+dims)) placeholder pixels)."""
+    from ieps_crawler_spark.operators.multimodal import resize_media
+
+    out = resize_media(_media_frame(spark, sf_dir), 16, 16)
+    return out.select(
+        "url", "kind", "width", "height", F.hex("content").alias("content_hex")
+    )
+
+
+def q_multimodal_embed_topk(spark, sf_dir):
+    """Feature-extract → ANN pipeline: embed media bytes (stub encoder,
+    unit-norm float32) then exact cosine top-5 — media dedup-by-content
+    as the same similarity problem as text. Oracle recomputes the
+    embeddings byte-for-byte in SQL (hex-substr digest extraction)."""
+    from ieps_crawler_spark.operators.multimodal import embed_media
+    from ieps_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = embed_media(_media_frame(spark, sf_dir), dim=32).select(
+        F.regexp_extract("url", r"d(\d+)$", 1).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=5).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
     )
 
 
@@ -674,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_media_meta": q_multimodal_media_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_embed_topk": q_multimodal_embed_topk,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "text_token_count": q_text_token_count,
         "text_lang_quality": q_text_lang_quality,
@@ -1097,6 +1135,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh_topk": _lsh_oracle_sql(),
         "similarity_ivf_topk": _ivf_oracle_sql(),
+        # resize stub: content = (sha256(payload+“WxH”) digest tiled to
+        # width*height bytes); 16x16 → 256 bytes → 512 hex chars, digest
+        # repeats ceil(256/32)+1 = 9 times before truncation
+        "multimodal_resize": r"""
+            SELECT 'media://d' || doc_id AS url,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+                   16 AS width, 16 AS height,
+                   upper(substr(repeat(sha256(text || '16x16'), 9), 1, 512))
+                     AS content_hex
+            FROM documents
+        """,
+        # embed stub replay: raw[i] = byte_i(sha256)/255*2-1 (float64),
+        # unit-normalized, rounded to float32 — identical arithmetic to
+        # fake_featurizer (numpy's sum is sequential below 128 elements,
+        # matching list_dot_product's fold) — then exact cosine top-5
+        "multimodal_embed_topk": r"""
+            WITH raws AS (
+              SELECT doc_id AS vec_id,
+                     list_transform(generate_series(1, 32),
+                       i -> ('0x' || substr(sha256(text), 2*i-1, 2))::INT
+                            / 255.0 * 2 - 1) AS raw
+              FROM documents),
+            e AS (
+              SELECT vec_id,
+                     list_transform(raw,
+                       x -> CAST(CAST(
+                         x / sqrt(list_dot_product(raw, raw)) AS FLOAT)
+                         AS DOUBLE)) AS v
+              FROM raws),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(v, qv)
+                     / nullif(sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv)), 0) AS cos
+              FROM e, q)
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+        """,
         "multimodal_media_meta": r"""
             SELECT 'media://d' || doc_id AS url,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

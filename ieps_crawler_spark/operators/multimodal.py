@@ -3,14 +3,18 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The reference stores images and binary docs as ``bytea`` rows
 (crawldb.sql:47-70); at training-pipeline scale the same shape becomes a
-binary column + metadata struct. The Spark-side plumbing here — schema,
-batch iteration, partition sizing — is real and tested; the actual codec
-work (JPEG decode, resampling, frame extraction) is STUBBED behind
-``decoder=`` hooks because no image/audio libraries exist in this
-container: the default deterministic fake decoder derives metadata from
-the bytes (so tests are stable), and a clearly-marked
-``NotImplementedError`` decoder shows where a real libjpeg/ffmpeg hook
-plugs in.
+binary column + metadata struct. The full stage ladder a multimodal
+training pipeline needs is here — decode-metadata (extract_media_meta),
+resize (resize_media), feature-extract (embed_media), frame-sample
+(frame_sample_plan) — with the Spark-side plumbing (schema, Arrow batch
+iteration, bytes-in/bytes-out shapes, partition sizing) real and tested;
+the actual codec work (JPEG decode, resampling, frame extraction, the
+vision/audio encoder) is STUBBED behind ``decoder=``/``resizer=``/
+``featurizer=`` hooks because no image/audio libraries exist in this
+container: the default deterministic fakes derive output from the bytes
+(so tests and DuckDB oracles are stable), and clearly-marked
+``NotImplementedError`` variants show where real libjpeg/ffmpeg/encoder
+hooks plug in.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 each mapInPandas batch moves via Arrow; ``repartition`` before decode
@@ -104,6 +108,117 @@ def extract_media_meta(
 
     cols = [url_col, bytes_col, kind_col]
     return df.select(*cols).mapInPandas(_decode, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "url string, kind string, width int, height int, content binary"
+
+
+def fake_resizer(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real pixel resampler: emits width*height
+    placeholder bytes derived from sha256(payload + dims), so output byte
+    VOLUME matches a real resize (the plumbing moves realistic payloads)
+    while staying codec-free and cross-engine reproducible (the DuckDB
+    oracle recomputes it as repeat(sha256_hex, …))."""
+    if payload is None:
+        return None
+    d = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    n = width * height
+    return (d * (n // len(d) + 1))[:n]
+
+
+def real_resizer(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Where Pillow/libswscale would plug in — not in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "inject a resizer via resize_media(resizer=...)"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    url_col: str = "url",
+    bytes_col: str = "content",
+    kind_col: str = "kind",
+    resizer: Callable[[bytes, str, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """binary media rows → resized binary rows (RESIZED_SCHEMA), one Arrow
+    pass. Bytes go in AND come out of the Python stage (unlike
+    extract_media_meta) — the batch shape a real thumbnailing stage has."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "kind": pdf[kind_col],
+                    "width": width,
+                    "height": height,
+                    "content": [
+                        resizer(b, k, width, height)
+                        for b, k in zip(pdf[bytes_col], pdf[kind_col])
+                    ],
+                }
+            )
+
+    return df.select(url_col, bytes_col, kind_col).mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+def fake_featurizer(payloads: pd.Series, dim: int) -> list:
+    """Deterministic stand-in for a vision/audio encoder: unit-norm
+    float32 vector from the first ``dim`` sha256 digest bytes, scaled to
+    [-1, 1]. Vectorized per Arrow batch; byte-exact reproducible in SQL
+    (hex-substr byte extraction), so downstream ANN results are
+    oracle-checkable end-to-end."""
+    import numpy as np
+
+    out = []
+    for b in payloads:
+        if b is None:
+            out.append(None)
+            continue
+        d = hashlib.sha256(b).digest()
+        raw = (
+            np.frombuffer((d * (dim // len(d) + 1))[:dim], dtype=np.uint8)
+            .astype(np.float64)
+            / 255.0
+            * 2.0
+            - 1.0
+        )
+        v = raw / np.sqrt((raw * raw).sum())
+        out.append(v.astype(np.float32).tolist())
+    return out
+
+
+def embed_media(
+    df: DataFrame,
+    dim: int = 32,
+    url_col: str = "url",
+    bytes_col: str = "content",
+    kind_col: str = "kind",
+    featurizer: Callable[[pd.Series, int], list] = fake_featurizer,
+) -> DataFrame:
+    """binary media rows → (url, kind, embedding array<float>): the
+    feature-extraction stage of a multimodal training pipeline. The
+    embedding column feeds directly into operators.similarity /
+    dedup.embedding_neardup — media dedup-by-content becomes the same
+    bucketed ANN problem as text."""
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "kind": pdf[kind_col],
+                    "embedding": featurizer(pdf[bytes_col], dim),
+                }
+            )
+
+    return df.select(url_col, bytes_col, kind_col).mapInPandas(
+        _embed, "url string, kind string, embedding array<float>"
+    )
 
 
 def frame_sample_plan(
