@@ -250,29 +250,24 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _ivf_topk_fixed(
+def _ivf_with_cents(
     corpus: DataFrame,
     queries: DataFrame,
+    cents: DataFrame,
     k: int,
     n_probe: int,
     id_col: str,
     vec_col: str,
     query_id_col: str,
-    centroid_ids: list,
 ) -> DataFrame:
-    """Fixed-codebook IVF (see ivf_topk). Assignment score is
-    dot(v, c)/|c| (the row norm cancels in the argmax); ties break to the
-    lowest list index, mirrored exactly by the oracle's ORDER BY ns, j.
-    The argmax is a min-struct aggregate — one map-side-combinable
-    shuffle, no window over the corpus."""
-    spark = corpus.sparkSession
-    cmap = spark.createDataFrame(
-        [(int(i), j) for j, i in enumerate(centroid_ids)], "cid long, j int"
-    )
-    cents = (
-        corpus.join(F.broadcast(cmap), F.col(id_col) == F.col("cid"))
-        .select("j", F.col(vec_col).alias("cv"))
-    )
+    """IVF over a given small codebook DataFrame ``cents(j, cv)`` —
+    used by both the fixed-codebook mode (centroids = corpus rows) and
+    the k-means fit. Assignment score is dot(v, c)/|c| (the row norm
+    cancels in the argmax); ties break to the lowest list index, mirrored
+    exactly by the DuckDB oracle's ORDER BY ns, j. The argmax is a
+    min-struct aggregate — map-side combine collapses the broadcast
+    cross-join back to one row per vector before the shuffle — and no
+    stage materializes anything driver-side."""
     # negated similarity: min(struct(ns, j, …)) = argmax sim, lowest-j ties;
     # j is unique so comparison never reaches the carried vector field
     ns = -(
@@ -346,8 +341,15 @@ def ivf_topk(
     join + min-struct argmax, zero driver materialization) and exactly
     SQL-expressible, which is how the DuckDB oracle verifies it."""
     if centroid_ids is not None:
-        return _ivf_topk_fixed(
-            corpus, queries, k, n_probe, id_col, vec_col, query_id_col, centroid_ids
+        cmap = corpus.sparkSession.createDataFrame(
+            [(int(i), j) for j, i in enumerate(centroid_ids)], "cid long, j int"
+        )
+        cents = (
+            corpus.join(F.broadcast(cmap), F.col(id_col) == F.col("cid"))
+            .select("j", F.col(vec_col).alias("cv"))
+        )
+        return _ivf_with_cents(
+            corpus, queries, cents, k, n_probe, id_col, vec_col, query_id_col
         )
     sample = np.array(
         corpus.select(vec_col)
@@ -368,6 +370,23 @@ def ivf_topk(
             if len(pts):
                 centroids[j] = pts.mean(axis=0)
 
+    spark = corpus.sparkSession
+    if n_lists <= 32:
+        # small codebook: run the fitted centroids through the same pure-
+        # DataFrame assignment/probe machinery as the fixed-codebook mode
+        # (broadcast cross-join + min-struct argmax) — no toPandas of
+        # queries, no Python stage in the plan
+        cents = spark.createDataFrame(
+            [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+            "j int, cv array<double>",
+        )
+        return _ivf_with_cents(
+            corpus, queries, cents, k, n_probe, id_col, vec_col, query_id_col
+        )
+
+    # large codebook: per-row JVM dots over hundreds of centroid columns
+    # stop paying off — one Arrow matmul per batch assigns the corpus, and
+    # the (by definition small) query set computes its probes driver-side
     assign_udf = _assign_udf(centroids)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
@@ -381,7 +400,6 @@ def ivf_topk(
         sims = centroids @ a / (norms * (np.linalg.norm(a) or 1.0))
         for lid in np.argsort(-sims)[:n_probe]:
             qrows.append((r[query_id_col], int(lid), list(map(float, r[vec_col]))))
-    spark = corpus.sparkSession
     q = spark.createDataFrame(
         pd.DataFrame(qrows, columns=["query_id", "list_id", "qvec"])
     )
