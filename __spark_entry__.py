@@ -318,6 +318,74 @@ def q_crawl_load_analytics(spark, sf_dir):
     )
 
 
+def q_crawl_extract_links(spark, sf_dir):
+    """The quirk-laden link extractor (O11, ExtractFromHTML.scala
+    transcription) run for real inside the plan: HTML is constructed
+    JVM-side per document to exercise absolute links (trailing-slash
+    canon), root-relative fallback (site_domain + url), the external-host
+    gov.si filter, the extension filters (.pdf → DATA; 'jpeg'-no-dot quirk
+    → dropped), first-wins dedup, and img[src]; the oracle predicts the
+    extractor's output by construction."""
+    from ieps_crawler_spark.functions.extract import extract_links_udf
+
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://evem.gov.si/p'), d, F.lit('">a</a>'),
+        F.lit('<a href="/rel'), d, F.lit('">r</a>'),
+        F.lit('<a href="http://example.com/x'), d, F.lit('">e</a>'),
+        F.lit('<a href="http://evem.gov.si/f'), d, F.lit('.pdf">p</a>'),
+        F.lit('<a href="http://evem.gov.si/p'), d, F.lit('">dup</a>'),
+        F.lit('<a href="http://evem.gov.si/x'), d, F.lit('.jpeg">j</a>'),
+        F.lit('<img src="http://evem.gov.si/i'), d, F.lit('.png"/></body></html>'),
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    out = docs.select(
+        "doc_id",
+        F.explode(
+            extract_links_udf(F.col("html"), F.lit("evem.gov.si"))
+        ).alias("l"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("l.url").alias("url"),
+        F.col("l.kind").alias("kind"),
+        F.col("l.pos").alias("pos"),
+    )
+
+
+def q_crawl_sitemap_parse(spark, sf_dir):
+    """Sitemap seeding formats (O7, SiteMaps.scala / crawler-commons
+    parity): XML urlset (with whitespace-padded <loc>) for even docs, TXT
+    one-url-per-line with a garbage line for odd docs; the oracle
+    predicts the parsed URL stream by construction."""
+    from ieps_crawler_spark.functions.sitemaps import sitemap_urls_udf
+
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>http://h.gov.si/s"
+        ),
+        d,
+        F.lit("/a</loc></url><url><loc>  http://h.gov.si/s"),
+        d,
+        F.lit("/b  </loc></url></urlset>"),
+    )
+    txt = F.concat(
+        F.lit("http://h.gov.si/t"), d, F.lit("/1\nnot a url\nhttp://h.gov.si/t"),
+        d, F.lit("/2"),
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, xml).otherwise(txt).alias("body"),
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(sitemap_urls_udf()(F.col("body"))).alias("ord", "url")
+    )
+    return out.select("doc_id", "ord", "url")
+
+
 def q_crawl_assets(spark, sf_dir):
     """O9/O20/O23 — asset persistence with the seed-domain download flag
     (reference: content stored only for seed domains, FrontierManager
@@ -700,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_upsert_latest": q_crawl_upsert_latest,
         "crawl_assets": q_crawl_assets,
         "crawl_load_analytics": q_crawl_load_analytics,
+        "crawl_extract_links": q_crawl_extract_links,
+        "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1033,6 +1103,36 @@ def oracle_sql() -> dict[str, str]:
                    max(load_time_ms) AS max_load_ms,
                    round(avg(wait_ms), 4) AS avg_wait_ms
             FROM ranked GROUP BY host
+        """,
+        # construct→extract→predict: the HTML built by the Spark query
+        # yields exactly these rows under the transcribed
+        # ExtractFromHTML semantics (trailing-slash canon, root-relative
+        # fallback, gov.si + extension filters, first-wins dedup)
+        "crawl_extract_links": r"""
+            SELECT doc_id, 'http://evem.gov.si/p' || doc_id || '/' AS url,
+                   'PAGE' AS kind, 0 AS pos FROM documents
+            UNION ALL
+            SELECT doc_id, 'http://evem.gov.si/rel' || doc_id || '/',
+                   'PAGE', 1 FROM documents
+            UNION ALL
+            SELECT doc_id, 'http://evem.gov.si/f' || doc_id || '.pdf',
+                   'DATA', 2 FROM documents
+            UNION ALL
+            SELECT doc_id, 'http://evem.gov.si/i' || doc_id || '.png',
+                   'IMG', 3 FROM documents
+        """,
+        "crawl_sitemap_parse": r"""
+            SELECT doc_id, 0 AS ord,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://h.gov.si/s' || doc_id || '/a'
+                        ELSE 'http://h.gov.si/t' || doc_id || '/1' END AS url
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://h.gov.si/s' || doc_id || '/b'
+                        ELSE 'http://h.gov.si/t' || doc_id || '/2' END
+            FROM documents
         """,
         "crawl_assets": r"""
             SELECT 'http://h' || (o_custkey % 23) || '.gov.si/o'

@@ -57,6 +57,20 @@ def parse_sitemap(
 _PLAIN_URL = re.compile(r"^https?://\S+$")
 
 
+def sitemap_urls_udf():
+    """Arrow-batched column form of sitemap_urls (XML urlset + TXT; index
+    recursion needs the body lookup and stays driver-side in the
+    first-touch template build, wave.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    def _urls(bodies):
+        return pd.Series([sitemap_urls(b) for b in bodies])
+
+    return pandas_udf(_urls, ArrayType(StringType()))
+
+
 def sitemap_urls(
     sitemap_content: str | None, nested_lookup: dict[str, str] | None = None
 ) -> list[str]:
