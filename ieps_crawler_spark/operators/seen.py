@@ -268,12 +268,19 @@ def dedup_against_seen(
     seen_urls = seen.withColumnRenamed("canon_url", url_col).select(url_col)
     if bloom is None:
         return candidates.join(seen_urls, url_col, "left_anti")
+    # the routing filter may be either family — Bloom rows carry
+    # n_bits/n_hashes, cuckoo rows n_buckets/table (operators.cuckoo);
+    # both share the shard-cogrouped probe contract (False ⇒ new)
+    if "n_buckets" in bloom.columns:
+        from .cuckoo import probe_cuckoo as _probe_filter
+    else:
+        _probe_filter = probe_bloom
     # lazy localCheckpoint, not cache(): both branches (definitely-new and
     # suspects) consume the probe output, but a cache-manager entry would
     # outlive the call for library users who never run the crawl driver's
     # per-wave clearCache — checkpoint blocks are ContextCleaner-freed
     # when the result is dropped
-    flagged = probe_bloom(candidates, bloom, url_col, n_shards=n_shards)
+    flagged = _probe_filter(candidates, bloom, url_col, n_shards=n_shards)
     flagged = flagged.localCheckpoint(eager=False)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -66,6 +66,8 @@ class Crawler:
         use_bloom: bool = False,
         bloom_shards: int = 8,
         bloom_bits_per_shard: int = 1 << 23,
+        seen_filter: str = "bloom",
+        cuckoo_buckets_per_shard: int = 1 << 18,
         broadcast_fetch: bool = False,
         politeness_salt_shards: int = 16,
         compact_every: int = 8,
@@ -85,6 +87,16 @@ class Crawler:
         # so n_shards * capacity covers the frontier (overfill only
         # degrades the FP rate, i.e. costs exact probes, never drops URLs)
         self.bloom_bits_per_shard = bloom_bits_per_shard
+        # seen_filter picks the routing-filter family when use_bloom=True:
+        # "bloom" (operators.seen) or "cuckoo" (operators.cuckoo — ~half
+        # the space at equal fpp, supports deletion); both share the
+        # sharded/cogrouped probe contract and the incremental per-wave
+        # merge, and both are proven byte-identical to exact-only dedup
+        # (tests/test_bloom.py, tests/test_cuckoo.py)
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_filter must be 'bloom' or 'cuckoo'")
+        self.seen_filter = seen_filter
+        self.cuckoo_buckets_per_shard = cuckoo_buckets_per_shard
         self._bloom: DataFrame | None = None
         # fetch strategy: the default shuffled join relies on the corpus
         # being bucketed by url (Iceberg bucket transform / parquet
@@ -237,10 +249,8 @@ class Crawler:
                     # is maintained incrementally (merge of each wave's
                     # adds) — rebuilding from the whole seen set per wave
                     # would make bloom maintenance quadratic over a crawl
-                    self._bloom = build_bloom(
-                        state["seen"],
-                        self.bloom_shards,
-                        n_bits=self.bloom_bits_per_shard,
+                    self._bloom = self._build_filter(
+                        state["seen"]
                     ).localCheckpoint(eager=True)
                 bloom = self._bloom
             out = run_wave(
@@ -319,13 +329,8 @@ class Crawler:
                 # just materialized by its delta write, so the build scans
                 # only new urls); eager checkpoint truncates lineage and
                 # survives the per-wave clearCache
-                self._bloom = merge_blooms(
-                    self._bloom,
-                    build_bloom(
-                        out.seen_add,
-                        self.bloom_shards,
-                        n_bits=self.bloom_bits_per_shard,
-                    ),
+                self._bloom = self._merge_filters(
+                    self._bloom, self._build_filter(out.seen_add)
                 ).localCheckpoint(eager=True)
             n_fetched = mvals["fetched"]
             fetched_total += n_fetched
@@ -357,6 +362,25 @@ class Crawler:
         spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         return stats
+
+    # ------------------------------------------------------- filter strategy
+    def _build_filter(self, urls: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            from ..operators.cuckoo import build_cuckoo
+
+            return build_cuckoo(
+                urls, self.bloom_shards, n_buckets=self.cuckoo_buckets_per_shard
+            )
+        return build_bloom(
+            urls, self.bloom_shards, n_bits=self.bloom_bits_per_shard
+        )
+
+    def _merge_filters(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            from ..operators.cuckoo import merge_cuckoos
+
+            return merge_cuckoos(a, b)
+        return merge_blooms(a, b)
 
     # --------------------------------------------------------------- readers
     def results(self) -> DataFrame | None:
