@@ -527,7 +527,13 @@ def q_similarity_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # dim=64: the testdata embeddings schema (TESTDATA.md); the oracle's
-    # plane literals are generated for the same (dim, n_planes, seed)
+    # plane literals are generated for the same (dim, n_planes, seed).
+    # Fail fast on a mismatch — zip_with against a wrong-length plane
+    # literal would null-pad and silently collapse every signature to
+    # bucket 0 on the Spark side
+    dim = len(emb.select("embedding").first()[0])
+    if dim != 64:
+        raise ValueError(f"embeddings dim {dim} != 64 expected by the LSH oracle")
     return lsh_topk(
         emb, q, dim=64, k=10, n_planes=4, multiprobe=4, engine="jvm"
     ).select("query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine"))
@@ -1249,8 +1255,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # embed stub replay: raw[i] = byte_i(sha256)/255*2-1 (float64),
         # unit-normalized, rounded to float32 — identical arithmetic to
-        # fake_featurizer (numpy's sum is sequential below 128 elements,
-        # matching list_dot_product's fold) — then exact cosine top-5
+        # fake_featurizer, whose norm is an explicit sequential left fold
+        # because DuckDB's list_dot_product is one (verified empirically;
+        # numpy's .sum() would pairwise-reduce and differ in the last
+        # ulps) — then exact cosine top-5
         "multimodal_embed_topk": r"""
             WITH raws AS (
               SELECT doc_id AS vec_id,

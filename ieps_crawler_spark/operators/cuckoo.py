@@ -28,9 +28,16 @@ re-inserts the smaller table's occupied slots into the larger: cost
 O(occupied slots of the adds filter) = O(new URLs per wave).
 
 Hashing is JVM-side (xxhash64 whole-stage codegen) like seen.py; the
-pandas side does vectorized index arithmetic plus a per-key Python walk
-ONLY for keys whose both buckets are already full (rare below ~85%
-load).
+build is vectorized grouped free-slot placement (_bulk_place — a few
+argsorts per batch), with the per-key Python eviction walk ONLY for
+keys whose both buckets are already full (rare below ~85% load).
+
+Deletion contract: slots are a MULTISET over distinct keys (exact
+duplicate keys are deduped per build on the 64-bit hash pair, but a
+colliding distinct key keeps its own slot), so delete(X) can never
+erase the only evidence of a different seen URL. Deleting a key that
+was never inserted — or inserted by two separate builds then merged,
+then deleted twice — falls outside the contract, as in Fan et al.
 """
 
 from __future__ import annotations
@@ -93,7 +100,13 @@ def _fp_and_buckets(pdf: pd.DataFrame, n_buckets: int):
 def _insert_keys(
     table: np.ndarray, stash: list, fp: np.ndarray, b1: np.ndarray, b2: np.ndarray
 ) -> None:
-    """In-place batch insert with bounded eviction; overflow → stash.
+    """Per-key insert with bounded eviction; overflow → stash. MULTISET
+    slots: a duplicate (fingerprint, bucket) pair from a DIFFERENT key
+    stores its own copy — the Fan et al. §3.3 precondition that makes
+    deletion safe (suppressing the copy would let delete(X) silently
+    remove colliding Y's only evidence = a false negative). Exact
+    duplicate KEYS are removed before insertion (build dedupes on the
+    64-bit hash pair), so each inserted key owns exactly one slot.
     table: uint16[n_buckets, BUCKET_SLOTS]."""
     n_buckets = table.shape[0]
     mask = n_buckets - 1
@@ -101,9 +114,6 @@ def _insert_keys(
     for f, i1, i2 in zip(fp, b1, b2):
         f = np.uint16(f)
         row = table[i1]
-        # already present (either bucket) → set semantics, no duplicate slot
-        if (row == f).any() or (table[i2] == f).any():
-            continue
         e = np.where(row == 0)[0]
         if len(e):
             row[e[0]] = f
@@ -132,6 +142,39 @@ def _insert_keys(
             stash.append(np.uint16(cur_fp))
 
 
+def _bulk_place(
+    table: np.ndarray, fill: np.ndarray, fp: np.ndarray, b1: np.ndarray, b2: np.ndarray
+) -> np.ndarray:
+    """Vectorized free-slot placement (no evictions): two passes (home
+    bucket, then alt bucket) of grouped rank-assignment against the
+    per-bucket fill counts. Returns the index array of keys that found
+    no free slot in either bucket (they go through the per-key eviction
+    walk). This is the common path — at ≤85% load almost every key
+    lands here, so build cost is a handful of argsorts, not a per-key
+    Python loop."""
+    remaining = np.arange(len(fp))
+    for b in (b1, b2):
+        if not len(remaining):
+            break
+        bb = b[remaining]
+        order = np.argsort(bb, kind="stable")
+        sb = bb[order]
+        new_run = np.r_[True, sb[1:] != sb[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(sb)) - starts[run_id]
+        slot = fill[sb] + rank
+        ok = slot < BUCKET_SLOTS
+        table[sb[ok], slot[ok]] = fp[remaining[order[ok]]]
+        ubuckets = sb[starts]
+        run_len = np.diff(np.r_[starts, len(sb)])
+        fill[ubuckets] = np.minimum(
+            fill[ubuckets] + run_len, BUCKET_SLOTS
+        )
+        remaining = remaining[order[~ok]]
+    return remaining
+
+
 def build_cuckoo(
     seen: DataFrame,
     n_shards: int = 8,
@@ -142,7 +185,10 @@ def build_cuckoo(
     non-empty shard. ``n_buckets`` must be a power of two (partial-key
     xor pairing); capacity ≈ n_buckets * 4 * 0.95. Fixed geometry keeps
     filters mergeable across builds (incremental maintenance)."""
-    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1) != 0:
+        # non-power-of-two breaks the xor pairing's involution (probe/
+        # merge would mis-pair buckets = silent false negatives)
+        raise ValueError("n_buckets must be a power of two")
     sharded = _with_hashes(seen.select(url_col), url_col).select(
         "_h1",
         "_h2",
@@ -153,8 +199,15 @@ def build_cuckoo(
         table = np.zeros((n_buckets, BUCKET_SLOTS), dtype=np.uint16)
         stash: list = []
         if len(pdf):
+            # exact-key dedup on the 64-bit hash pair: each distinct URL
+            # owns exactly ONE slot (the delete contract), duplicates in
+            # the input cost nothing
+            pdf = pdf.drop_duplicates(subset=["_h1", "_h2"])
             fp, b1, b2 = _fp_and_buckets(pdf, n_buckets)
-            _insert_keys(table, stash, fp, b1, b2)
+            fill = np.zeros(n_buckets, dtype=np.int64)
+            left = _bulk_place(table, fill, fp, b1, b2)
+            if len(left):
+                _insert_keys(table, stash, fp[left], b1[left], b2[left])
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0]) if len(pdf) else 0],
@@ -271,15 +324,21 @@ def probe_cuckoo(
 
 
 def delete_from_cuckoo(
-    cuckoo: DataFrame, removals: DataFrame, url_col: str = "canon_url"
+    cuckoo: DataFrame,
+    removals: DataFrame,
+    url_col: str = "canon_url",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Remove URLs from the filter (the capability Bloom lacks): clears
-    ONE matching fingerprint slot per key (set semantics match insert's
-    duplicate suppression). Only keys actually inserted may be deleted —
-    deleting a never-inserted key can evict another key's colliding
-    fingerprint (standard cuckoo-filter contract, Fan et al. §3.3).
-    Stash entries matching the fingerprint are dropped likewise."""
-    n_shards = cuckoo.select("n_shards").first()["n_shards"]
+    ONE matching fingerprint slot per key. Safe because inserts store
+    MULTISET slots (a colliding distinct key keeps its own copy — see
+    _insert_keys). Only keys actually inserted may be deleted — deleting
+    a never-inserted key can clear another key's colliding fingerprint
+    (standard cuckoo-filter contract, Fan et al. §3.3). Stash entries
+    matching the fingerprint are dropped likewise. Pass ``n_shards`` to
+    skip the scalar-read job over the filter lineage."""
+    if n_shards is None:
+        n_shards = cuckoo.select("n_shards").first()["n_shards"]
     rem = _with_hashes(removals.select(url_col), url_col).select(
         "_h1",
         "_h2",

@@ -188,7 +188,15 @@ def fake_featurizer(payloads: pd.Series, dim: int) -> list:
             * 2.0
             - 1.0
         )
-        v = raw / np.sqrt((raw * raw).sum())
+        # sequential left-fold norm, NOT numpy's pairwise reduction:
+        # DuckDB's list_dot_product is a strict sequential fold (verified
+        # empirically), so this makes the float64 norm bit-identical on
+        # both engines and the float32 embedding exactly reproducible in
+        # the SQL oracle
+        norm2 = 0.0
+        for x in raw.tolist():
+            norm2 += x * x
+        v = raw / np.sqrt(norm2)
         out.append(v.astype(np.float32).tolist())
     return out
 

@@ -57,8 +57,10 @@ def brute_force_topk(
 
 
 def hyperplane_sig_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    # _plane_matrix is the single source of the plane constants — the JVM
+    # engine, this UDF, probe_sigs_udf and the DuckDB oracle must all
+    # derive bit-identical planes from (dim, n_planes, seed)
+    planes = _plane_matrix(dim, n_planes, seed)
 
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -84,8 +86,7 @@ def probe_sigs_udf(dim: int, n_planes: int, seed: int, n_probe: int):
     stays bucketed once either way)."""
     import itertools
 
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    planes = _plane_matrix(dim, n_planes, seed)
 
     def _probes(vecs: pd.Series) -> pd.Series:
         out = []

@@ -95,6 +95,11 @@ class Crawler:
         # (tests/test_bloom.py, tests/test_cuckoo.py)
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError("seen_filter must be 'bloom' or 'cuckoo'")
+        if cuckoo_buckets_per_shard <= 0 or (
+            cuckoo_buckets_per_shard & (cuckoo_buckets_per_shard - 1)
+        ):
+            # fail at construction, not mid-crawl inside an executor task
+            raise ValueError("cuckoo_buckets_per_shard must be a power of two")
         self.seen_filter = seen_filter
         self.cuckoo_buckets_per_shard = cuckoo_buckets_per_shard
         self._bloom: DataFrame | None = None
