@@ -84,7 +84,7 @@ def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
 
 def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
                 n_seeds: int, max_waves: int, use_bloom: bool = False,
-                bloom_shards: int = 16) -> dict:
+                bloom_shards: int = 16, seen_filter: str = "bloom") -> dict:
     from ieps_crawler_spark.plans.crawl import Crawler
     from ieps_crawler_spark.webgen import seeds_df
 
@@ -97,6 +97,7 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
         crawler = Crawler(
             spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000,
             use_bloom=use_bloom, bloom_shards=bloom_shards,
+            seen_filter=seen_filter,
         )
         sdf = seeds_df(spark, n_pages, n_hosts, n_seeds)
         stats = crawler.run(seeds=sdf, max_waves=max_waves)
@@ -184,6 +185,17 @@ def main() -> None:
         # extras only: an alternate config of the same workload must not
         # inflate the headline sum (cross-round comparability)
         extras["crawl_bloom"] = crawl_b
+
+    # third config: the cuckoo-filter seen-set family (the north rule names
+    # both "partitioned Bloom/cuckoo" variants). Same exactness invariant
+    # (tests/test_cuckoo.py: cuckoo-on == filter-off byte-identical); this
+    # measures the fingerprint-table routing cost vs the bloom bitmaps
+    if (not only and os.environ.get("BENCH_CUCKOO", "1") == "1") or "crawl_cuckoo" in only:
+        crawl_c = bench_crawl(
+            spark, sf_dir, args.replicate, args.hosts, args.seeds, args.waves,
+            use_bloom=True, seen_filter="cuckoo",
+        )
+        extras["crawl_cuckoo"] = crawl_c
 
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
     for name, fn in entry_mod.queries().items():
