@@ -174,6 +174,35 @@ def q_crawl_budget_topk(spark, sf_dir):
     )
 
 
+def q_crawl_priority_topk(spark, sf_dir):
+    """O16 — BFS-with-preference: the frontier's priority lane
+    (lower = more important, CrawlerBoundedPriorityMailbox.scala:14-21)
+    reorders a host's budgeted batch ahead of FIFO. Same operator as
+    crawl_budget_topk (operators.politeness.select_budget) with a
+    non-constant priority: every 4th URL is "preferred" and jumps the
+    per-host queue."""
+    from ieps_crawler_spark.operators.politeness import select_budget
+
+    o = _read(spark, sf_dir, "orders")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    frontier = o.select(
+        F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".gov.si/o"),
+                 F.col("o_orderkey").cast("string"), F.lit("/")).alias("canon_url"),
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.lit(0).alias("data_type"),
+        F.lit(None).cast("string").alias("ref_url"),
+        F.lit(0).alias("wave"),
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0, 0)
+        .otherwise(1).alias("priority"),
+        F.col("o_orderkey").alias("enq_seq"),
+    )
+    delays = frontier.select("host").distinct().select(
+        "host", F.lit(12000).cast("long").alias("delay_ms")
+    )
+    batch, _ = select_budget(frontier, delays, wave=0, wave_seconds=60)
+    return batch.select("host", "canon_url", "priority", "fetch_order")
+
+
 def q_crawl_fetch_classify(spark, sf_dir):
     """O8/O20/O22 — fetch = frontier left-join corpus, missing -> 404,
     robots-denied -> DISALLOWED with null status (the reference's
@@ -764,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_gate": q_crawl_robots_gate,
         "crawl_robots_delay": q_crawl_robots_delay,
         "crawl_budget_topk": q_crawl_budget_topk,
+        "crawl_priority_topk": q_crawl_priority_topk,
         "crawl_fetch_classify": q_crawl_fetch_classify,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_hash_dup_mark": q_crawl_hash_dup_mark,
@@ -1034,6 +1064,23 @@ def oracle_sql() -> dict[str, str]:
                      '%Y-%m-%d %H:%M:%S') AS sched_ts_s
             FROM ranked
             WHERE fetch_order <= greatest(1, 60000 // delay_ms)
+        """,
+        "crawl_priority_topk": r"""
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 23) AS host,
+                     'http://h' || (o_custkey % 23) || '.gov.si/o' || o_orderkey || '/' AS canon_url,
+                     CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS priority,
+                     o_orderkey AS enq_seq
+              FROM orders),
+            ranked AS (
+              SELECT host, canon_url, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority, enq_seq)
+                       AS fetch_order
+              FROM f)
+            SELECT host, canon_url, priority, fetch_order
+            FROM ranked
+            WHERE fetch_order <= 5
         """,
         "crawl_fetch_classify": r"""
             SELECT o_orderkey,

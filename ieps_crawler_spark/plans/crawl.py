@@ -71,6 +71,7 @@ class Crawler:
         broadcast_fetch: bool = False,
         politeness_salt_shards: int = 16,
         compact_every: int = 8,
+        priority_expr=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -111,6 +112,9 @@ class Crawler:
         # wave batches stay broadcast-sized.
         self.broadcast_fetch = broadcast_fetch
         self.politeness_salt_shards = politeness_salt_shards
+        # BFS-with-preference: optional Column scoring discovered links
+        # (lower fetches earlier within a host budget); None = pure BFS
+        self.priority_expr = priority_expr
         # fold the append-only add-deltas every k waves so the per-wave
         # seen scan reads O(1) directories instead of O(waves) (VERDICT r1
         # residual: file-count growth linear in waves); 0 disables
@@ -288,6 +292,7 @@ class Crawler:
                     if self.use_bloom
                     else None
                 ),
+                priority_expr=self.priority_expr,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

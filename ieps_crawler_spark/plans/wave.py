@@ -218,6 +218,7 @@ def run_wave(
     politeness_salt_shards: int = 0,
     seed_hosts: DataFrame | None = None,
     seen_rows_hint: int | None = None,
+    priority_expr=None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -462,13 +463,22 @@ def run_wave(
     # per-(host) local enqueue position
     local_w = Window.partitionBy("host").orderBy("parent_host", "parent_rank", "pos")
     next_wave = wave + 1
+    # BFS-with-preference hook: priority_expr scores DISCOVERED links
+    # (columns in scope: canon_url, host, data_type, parent_url,
+    # child_kind); lower = fetched earlier within a host's budget, the
+    # reference mailbox's lower-is-more-important convention
+    # (CrawlerBoundedPriorityMailbox.scala:14-21). Seeds and first-touch
+    # injections keep priority 0 — the reference's highest message class
+    # stays ahead. Default None = lit(0) = pure BFS, byte-identical to
+    # the unhooked wave (tests/test_priority.py).
+    prio = F.lit(0) if priority_expr is None else priority_expr
     cand = cand.select(
         "canon_url",
         "host",
         "data_type",
         F.col("parent_url").alias("ref_url"),
         F.lit(next_wave).alias("wave"),
-        F.lit(0).alias("priority"),
+        prio.cast("int").alias("priority"),
         (
             F.lit(GROUP_LINK << _GROUP_SHIFT) + F.row_number().over(local_w)
         ).cast("long").alias("enq_seq"),

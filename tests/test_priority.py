@@ -1,0 +1,153 @@
+"""BFS-with-preference priority frontier (O16, north_star "BFS-with-
+preference priority frontier"). The frontier's priority lane maps the
+reference mailbox's lower-is-more-important ladder
+(CrawlerBoundedPriorityMailbox.scala:14-21) into the URL data plane:
+``select_budget`` ranks per host by (priority, wave, enq_seq), and the
+``priority_expr`` hook scores discovered links at enqueue time.
+
+Contracts proven here:
+- default (no hook) and ``lit(0)`` hook are byte-identical — pure BFS,
+  so the reference-ordering equivalence suite is untouched;
+- within a host budget a later-enqueued higher-priority URL beats
+  earlier lower-priority ones, identically in the salted two-phase
+  top-k path;
+- an end-to-end crawl with binaries deprioritized converges to the SAME
+  seen set / classification (completeness is order-independent) while
+  actually delaying binary fetches.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ieps_crawler_spark.corpus import generate_corpus
+from ieps_crawler_spark.operators.politeness import select_budget
+from ieps_crawler_spark.plans.crawl import Crawler
+
+N_PAGES = 120
+MAX_WAVES = 14  # enough for BOTH orderings to reach the full closure
+
+
+def _deprioritize_binaries():
+    # built lazily — Column construction needs an active SparkContext
+    return F.when(F.col("data_type") != 0, 1).otherwise(0)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_PAGES, seed=7)
+
+
+def _crawl(spark, corpus, ckpt, **kw):
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    bodies = {
+        r["url"]: r["content"] for _, r in corpus["sitemap_bodies"].iterrows()
+    }
+    c = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60, **kw)
+    st = c.run(seeds=corpus["seeds"], max_waves=MAX_WAVES)
+    # closure comparisons below assume the crawl CONVERGED (frontier
+    # drained), not truncated mid-frontier by max_waves
+    assert st.waves < MAX_WAVES, f"crawl still pending at {st.waves} waves"
+    return c
+
+
+def _fetch_table(crawler):
+    return {
+        r["url"]: (r["page_type"], r["wave"], r["fetch_order"])
+        for r in crawler.results().collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def default_run(spark, corpus, tmp_path_factory):
+    return _fetch_table(
+        _crawl(spark, corpus, str(tmp_path_factory.mktemp("prio_default")))
+    )
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "canon_url string, host string, data_type int, ref_url string, "
+        "wave int, priority int, enq_seq long",
+    )
+
+
+def _delays(spark, host, delay_ms):
+    return spark.createDataFrame(
+        [(host, delay_ms)], "host string, delay_ms long"
+    )
+
+
+@pytest.mark.parametrize("salt_shards", [0, 4])
+def test_budget_prefers_high_priority(spark, salt_shards):
+    # budget = 60s / 30s delay = 2 slots; u3 enqueued LAST but priority 0
+    rows = [
+        ("http://h.si/u1/", "h.si", 0, None, 0, 1, 1),
+        ("http://h.si/u2/", "h.si", 0, None, 0, 1, 2),
+        ("http://h.si/u3/", "h.si", 0, None, 0, 0, 3),
+    ]
+    batch, leftover = select_budget(
+        _frontier(spark, rows), _delays(spark, "h.si", 30_000),
+        wave=0, wave_seconds=60, salt_shards=salt_shards,
+    )
+    got = {r["canon_url"]: r["fetch_order"] for r in batch.collect()}
+    assert got == {"http://h.si/u3/": 1, "http://h.si/u1/": 2}
+    assert [r["canon_url"] for r in leftover.collect()] == ["http://h.si/u2/"]
+
+
+def test_lit0_hook_is_byte_identical(spark, corpus, tmp_path, default_run):
+    hooked = _crawl(
+        spark, corpus, str(tmp_path / "ckpt"), priority_expr=F.lit(0)
+    )
+    assert _fetch_table(hooked) == default_run
+
+
+def test_deprioritized_binaries_same_closure_later_fetches(
+    spark, corpus, tmp_path, default_run
+):
+    run = _crawl(
+        spark, corpus, str(tmp_path / "ckpt"),
+        priority_expr=_deprioritize_binaries(),
+    )
+    got = _fetch_table(run)
+    # completeness + classification are order-independent: same URL set,
+    # same page_type per URL (both runs converge inside MAX_WAVES, so
+    # the closure is the full reachable set either way)
+    assert set(got) == set(default_run)
+    assert {u: t[0] for u, t in got.items()} == {
+        u: t[0] for u, t in default_run.items()
+    }
+    # the preference is visible where a budget bound: at least one
+    # binary fetched strictly later than in the default run
+    moved_later = sum(
+        1
+        for u, (ptype, wave, order) in got.items()
+        if ptype == "BINARY"
+        and (wave, order) > (default_run[u][1], default_run[u][2])
+    )
+    assert moved_later > 0
+
+
+def test_priority_stamped_on_discovered_links(spark, corpus):
+    # direct run_wave: the hook stamps every DISCOVERED non-page link
+    # with priority 1, pages and first-touch injections stay 0 (old
+    # frontier snapshots are GC'd after the run, so the stamp is checked
+    # at the wave boundary, not post-hoc)
+    from ieps_crawler_spark.plans.wave import run_wave, seed_frontier
+
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    out = run_wave(
+        spark, 0,
+        seed_frontier(spark, corpus["seeds"]),
+        pages, sites,
+        spark.createDataFrame([], "canon_url string"),
+        spark.createDataFrame([], "content_hash string"),
+        spark.createDataFrame([], "host string"),
+        priority_expr=_deprioritize_binaries(),
+    )
+    rows = out.pending_next.select("data_type", "priority").collect()
+    assert any(r["data_type"] != 0 for r in rows), "no binary discovered"
+    for r in rows:
+        assert r["priority"] == (1 if r["data_type"] != 0 else 0)
