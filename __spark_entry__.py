@@ -527,6 +527,18 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup clusters + canonical pick: embedding cosine pairs →
+    connected components → one canonical (min-id) row per cluster,
+    singletons included — the keep/drop decision a training pipeline
+    derives from any of the pair generators."""
+    from ieps_crawler_spark.operators.dedup import embedding_neardup, neardup_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup(emb, "vec_id", "embedding", 0.35)
+    return neardup_clusters(emb, pairs, "vec_id")
+
+
 # ----------------------------------------------------------- similarity ops
 
 def q_similarity_bruteforce_topk(spark, sf_dir):
@@ -701,6 +713,27 @@ def q_text_rolling_fp(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------ sampling ops
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment from md5(doc_id) —
+    partition-independent, reproducible, disjoint + exhaustive."""
+    from ieps_crawler_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _read(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+def q_sample_deterministic(spark, sf_dir):
+    """Stable 20% sample by key hash (supersets nest across fractions)."""
+    from ieps_crawler_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _read(spark, sf_dir, "documents").select("doc_id"), "doc_id", 0.2
+    )
+
+
 # --------------------------------------------------------------- graph ops
 
 def _toy_edges(spark, sf_dir):
@@ -812,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_cluster_canonical": q_dedup_cluster_canonical,
         "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -823,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": q_text_lang_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fp": q_text_rolling_fp,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_deterministic": q_sample_deterministic,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
@@ -989,6 +1025,22 @@ def _ivf_oracle_sql(n_probe: int = 3, k: int = 10) -> str:
                    round(cos, 4) AS cosine
             FROM scored
             QUALIFY rank <= {k}
+        """
+
+
+def _hash_split_oracle_sql() -> str:
+    from ieps_crawler_spark.operators.sampling import split_thresholds_hex
+
+    bounds = split_thresholds_hex({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = "\n                   ".join(
+        f"WHEN md5(CAST(doc_id AS VARCHAR)) < '{b}' THEN '{n}'"
+        for n, b in bounds[:-1]
+    )
+    return f"""
+            SELECT doc_id,
+                   CASE {whens}
+                   ELSE '{bounds[-1][0]}' END AS split
+            FROM documents
         """
 
 
@@ -1267,6 +1319,37 @@ def oracle_sql() -> dict[str, str]:
                                            CAST(b.embedding AS DOUBLE[]))))
                   >= 0.35
         """,
+        # transitive closure of the same ≥0.35-cosine pair graph as
+        # dedup_embedding_cosine; min reachable id = cluster label,
+        # singletons label themselves, canonical = min id per cluster
+        "dedup_cluster_canonical": r"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.35),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS comp FROM edges
+              UNION
+              SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node),
+            comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+            lab AS (
+              SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster_id
+              FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node)
+            SELECT vec_id, cluster_id,
+                   (vec_id = min(vec_id) OVER (PARTITION BY cluster_id))
+                     AS is_canonical
+            FROM lab
+        """,
         "similarity_bruteforce_topk": r"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id % 100 = 0),
@@ -1406,6 +1489,16 @@ def oracle_sql() -> dict[str, str]:
                        i -> substring(md5(substring(norm, i, 32)), 1, 8)) AS fps
               FROM n)
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        # identical 128-bit hex thresholds as the Spark side (imported,
+        # not re-derived: they're configuration; the ASSIGNMENT —
+        # md5-of-key vs threshold string compare — is recomputed by
+        # DuckDB independently)
+        "sample_hash_split": _hash_split_oracle_sql(),
+        "sample_deterministic": f"""
+            SELECT doc_id FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR))
+                  < '{int(0.2 * (1 << 128)):032x}'
         """,
         "graph_pagerank": r"""
             WITH e AS (

@@ -16,6 +16,9 @@ standard ladder, all DataFrame-first:
                            4-segment pigeonhole blocking
 - ngram_jaccard_pairs    — exact Jaccard verification for candidate pairs
 - embedding_neardup      — cosine-threshold near-dup over array<float>
+- neardup_clusters       — pairs → connected components → one canonical
+                           doc per cluster (the dedup endgame: what a
+                           training pipeline actually keeps)
 
 Skew/scale notes: shingling+minhash run in one Arrow batch pass (numpy);
 band join keys are (band_id, band_hash) — uniformly distributed by
@@ -484,3 +487,62 @@ def _neardup_broadcast(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+# ------------------------------------------------- cluster + canonical pick
+
+
+def neardup_clusters(
+    entities: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str | None = None,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters and pick one canonical row
+    per cluster — the step after pair generation that a training-data
+    pipeline actually runs (keep one representative, drop the rest).
+
+    `pairs` is any (id_a, id_b) near-dup pair frame (minhash/simhash/
+    ngram/embedding family above). Clusters are connected components of
+    the pair graph (transitive closure: A~B, B~C ⇒ one cluster), labeled
+    by the minimum reachable id; entities in no pair are singleton
+    clusters of themselves. Canonical = max `prefer_col` (ties → min id)
+    when given, else min id.
+
+    Returns (id_col, cluster_id, is_canonical) with one row per entity.
+
+    Scale posture: components run via graph.connected_components
+    (pointer-jumped min-label propagation, one shuffle + one scalar
+    observation per round); canonical selection is a groupBy aggregate
+    (map-side partial min of a (neg-prefer, id) struct), NOT a window —
+    a giant dup cluster (the common web case: boilerplate pages) would
+    make a window sort one hot partition, while the struct-min combines
+    locally before the shuffle.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b", max_iterations
+    )
+    cols = [F.col(id_col)] + ([F.col(prefer_col)] if prefer_col else [])
+    base = entities.select(*cols)
+    labeled = base.join(comp, base[id_col] == comp["node_id"], "left").select(
+        base[id_col],
+        F.coalesce(comp["component"], base[id_col]).alias("cluster_id"),
+        *([base[prefer_col]] if prefer_col else []),
+    )
+    if prefer_col:
+        pick = F.min(
+            F.struct(
+                (-F.col(prefer_col)).alias("_np"), F.col(id_col).alias("_i")
+            )
+        )["_i"]
+    else:
+        pick = F.min(id_col)
+    canon = labeled.groupBy("cluster_id").agg(pick.alias("_canon"))
+    return labeled.join(canon, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("_canon")).alias("is_canonical"),
+    )

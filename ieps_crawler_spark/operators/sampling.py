@@ -1,0 +1,84 @@
+"""Deterministic sampling / dataset-split operators.
+
+A training-data pipeline needs reproducible row selection: the same
+document must land in the same split on every run, at every cluster
+size, regardless of partitioning — which rules out `df.sample()`
+(seeded per-partition RNG: repartitioning changes the sample) and any
+`rand()` column. The standard trick is a content-derived hash compared
+against a fixed threshold: `md5(key || salt)` is a 128-bit uniform
+value, and because both Spark and any ANSI engine render it as the same
+32-char lowercase hex string, an equal-length string comparison IS the
+numeric comparison — fully engine-portable (the DuckDB oracles replay
+it verbatim) and whole-stage-codegen friendly (pure JVM string ops, no
+Python, no shuffle, no state).
+
+Scale posture: both operators are stateless narrow maps/filters — they
+pushdown-compose with the parquet scan, add zero shuffles, and salting
+the key re-draws the assignment without touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_thresholds_hex", "hash_split", "deterministic_sample"]
+
+
+def split_thresholds_hex(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative 128-bit thresholds for each split as 32-char lowercase
+    hex strings: [(name, upper_bound_hex), ...] in declaration order,
+    last bound forced to the max so weights that sum to <1.0 by float
+    error still cover every row. Exact integer arithmetic — no float
+    comparison happens at assignment time."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = []
+    acc = 0.0
+    names = list(weights)
+    for name in names:
+        acc += weights[name] / total
+        bound = min(int(acc * (1 << 128)), (1 << 128) - 1)
+        out.append((name, f"{bound:032x}"))
+    # force full coverage for the last split
+    out[-1] = (names[-1], "f" * 32)
+    return out
+
+
+def _bucket(key_col: str, salt: str):
+    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    from the md5 of its key — deterministic, partition-independent,
+    disjoint and exhaustive. `salt` re-draws the whole assignment."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_thresholds_hex(weights)
+    h = _bucket(key_col, salt)
+    expr = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by key hash: stable under
+    repartitioning, re-runs, and engine changes; supersets nest
+    (fraction 0.1 ⊂ fraction 0.2 at the same salt), which is exactly
+    what ablation ladders want."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return df
+    bound = f"{int(fraction * (1 << 128)):032x}"
+    return df.filter(_bucket(key_col, salt) < F.lit(bound))

@@ -251,3 +251,75 @@ def test_simhash_finds_identical_twins(spark, docs_pdf):
     for _, r in base.iterrows():
         d = int(r["doc_id"])
         assert got.get((d * 2, d * 2 + 1)) == 0
+
+
+# --------------------------------------------------- neardup_clusters
+
+
+def test_neardup_clusters_min_id_canonical(spark):
+    from ieps_crawler_spark.operators.dedup import neardup_clusters
+
+    ents = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    # chain 1-2-3 (transitive), pair 5-6, singletons 4/7/8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in neardup_clusters(ents, pairs, "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+        8: (8, True),
+    }
+
+
+def test_neardup_clusters_prefer_col(spark):
+    from ieps_crawler_spark.operators.dedup import neardup_clusters
+
+    ents = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.2), (5, 0.7), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in neardup_clusters(ents, pairs, "doc_id", "quality").collect()
+    }
+    # cluster {1,2,3}: max quality = doc 2; {5,6}: quality tie -> min id 5
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+    }
+
+
+def test_neardup_clusters_one_kept_row_per_cluster(spark, emb):
+    """Composition over the real pair generator: every cluster keeps
+    exactly one canonical row, and every entity appears exactly once."""
+    from ieps_crawler_spark.operators.dedup import (
+        embedding_neardup,
+        neardup_clusters,
+    )
+
+    pairs = embedding_neardup(emb, "vec_id", "embedding", 0.35)
+    res = neardup_clusters(emb, pairs, "vec_id")
+    agg = res.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+    )
+    assert agg.filter(F.col("n_canon") != 1).count() == 0
+    assert res.count() == emb.count()
+    assert res.select("vec_id").distinct().count() == emb.count()

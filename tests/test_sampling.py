@@ -1,0 +1,64 @@
+"""Deterministic sampling/split operators: partition-independence,
+nesting, coverage — the properties df.sample()/rand() cannot give."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ieps_crawler_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    split_thresholds_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+
+def test_split_disjoint_exhaustive_and_roughly_proportional(spark, docs):
+    res = hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in res.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive, one split per row
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 0.8 * n  # 0.9 nominal, wide tolerance at n=500
+
+
+def test_split_is_partition_independent(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17, "doc_id"), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_salt_redraws_assignment(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert a != b
+    assert set(a) == set(b)  # same rows, different draw
+
+
+def test_sample_nesting_and_determinism(spark, docs):
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    s20_again = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert s10 <= s20  # ablation ladders nest
+    assert s20 == s20_again
+    n = docs.count()
+    assert 0.05 * n < len(s10) < 0.2 * n
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == n
+
+
+def test_thresholds_cover_full_range():
+    b = split_thresholds_hex({"a": 1, "b": 1, "c": 1})
+    assert [n for n, _ in b] == ["a", "b", "c"]
+    assert b[-1][1] == "f" * 32
+    assert b[0][1] < b[1][1] <= b[2][1]
+    with pytest.raises(ValueError):
+        split_thresholds_hex({"a": 0.0})
