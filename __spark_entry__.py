@@ -174,6 +174,44 @@ def q_crawl_budget_topk(spark, sf_dir):
     )
 
 
+def q_crawl_wave_cap(spark, sf_dir):
+    """Resource-bounded wave: global max_urls cap over the per-host
+    budgeted sets — host priority lanes decide which hosts win the cap,
+    per-host fetch_order/sched_ts recompressed (politeness.select_budget
+    max_urls path; the 10^10-frontier wave-memory bound)."""
+    from ieps_crawler_spark.operators.politeness import select_budget
+
+    o = _read(spark, sf_dir, "orders")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    frontier = o.select(
+        F.concat(F.lit("http://h"), hid.cast("string"), F.lit(".gov.si/o"),
+                 F.col("o_orderkey").cast("string"), F.lit("/")).alias("canon_url"),
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.lit(0).alias("data_type"),
+        F.lit(None).cast("string").alias("ref_url"),
+        F.lit(0).alias("wave"),
+        F.pmod(hid, F.lit(2)).cast("int").alias("priority"),
+        F.col("o_orderkey").alias("enq_seq"),
+        F.pmod(hid, F.lit(3)).alias("_g"),
+    )
+    delays = (
+        frontier.select("host", "_g").distinct()
+        .select(
+            "host",
+            F.when(F.col("_g") == 0, 2000)
+            .when(F.col("_g") == 1, 4000)
+            .otherwise(12000).cast("long").alias("delay_ms"),
+        )
+    )
+    batch, _ = select_budget(
+        frontier.drop("_g"), delays, wave=0, wave_seconds=60, max_urls=150
+    )
+    return batch.select(
+        "host", "canon_url", "priority", "fetch_order",
+        F.date_format("sched_ts", "yyyy-MM-dd HH:mm:ss").alias("sched_ts_s"),
+    )
+
+
 def q_crawl_priority_topk(spark, sf_dir):
     """O16 — BFS-with-preference: the frontier's priority lane
     (lower = more important, CrawlerBoundedPriorityMailbox.scala:14-21)
@@ -260,6 +298,34 @@ def q_crawl_link_graph(spark, sf_dir):
         F.col("l_orderkey").alias("from_id"), F.col("l_partkey").alias("to_id")
     ).dropDuplicates(["from_id", "to_id"])
     return edges.groupBy("from_id").agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def q_crawl_host_rank(spark, sf_dir):
+    """Recrawl prioritization: aggregate the link graph to host level
+    (distinct referring hosts + distinct referring pages) and bucket
+    into the priority lanes O16's frontier consumes — the score a
+    scheduler joins onto discovered links via Crawler(priority_expr=...).
+    Thresholds are fixed (no global sort/ntile): the plan is two
+    map-side-combining aggregates, skew-free at any host count."""
+    li = _read(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(97)).alias("fh"),
+        F.pmod(F.col("l_partkey"), F.lit(97)).alias("th"),
+        F.col("l_orderkey").alias("from_page"),
+    ).filter(F.col("fh") != F.col("th"))
+    agg = e.groupBy("th").agg(
+        F.countDistinct("fh").alias("ref_hosts"),
+        F.countDistinct("from_page").alias("in_links"),
+    )
+    return agg.select(
+        F.concat(F.lit("h"), F.col("th").cast("string")).alias("host"),
+        "ref_hosts",
+        "in_links",
+        F.when(F.col("ref_hosts") >= 64, 0)
+        .when(F.col("ref_hosts") >= 16, 1)
+        .otherwise(2)
+        .alias("priority"),
+    )
 
 
 def q_crawl_wave_metrics(spark, sf_dir):
@@ -713,6 +779,49 @@ def q_text_rolling_fp(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- pipeline ops
+
+def q_pipeline_corpus_select(spark, sf_dir):
+    """End-to-end corpus curation — the composed 'what do I train on'
+    query: exact-dedup keepers → language/quality gates (C4-style) →
+    deterministic split assignment + per-doc token accounting. Every
+    stage is a previously-oracled operator; this verifies they compose.
+    All JVM-side except nothing: zero Python UDFs in the whole plan."""
+    from ieps_crawler_spark.operators.dedup import exact_dedup
+    from ieps_crawler_spark.operators.sampling import hash_split
+    from ieps_crawler_spark.operators.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id")
+    scored = kept.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.round(quality_score("text"), 4).alias("quality"),
+        token_count("text").alias("tokens"),
+    ).filter((F.col("quality") > 0.5) & (F.col("lang_pred") != "unk"))
+    return hash_split(scored, "doc_id")
+
+
+def q_pipeline_pack_sequences(spark, sf_dir):
+    """Dataset assembly: token-counted docs packed into fixed-budget
+    training sequences, independently per hash shard (no global sort)."""
+    from ieps_crawler_spark.operators.sampling import pack_sequences
+    from ieps_crawler_spark.operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("tokens")
+    )
+    return pack_sequences(docs, "doc_id", "tokens", budget=512, shards=8)\
+        .withColumnRenamed("offset", "seq_offset")
+
+
 # ------------------------------------------------------------ sampling ops
 
 def q_sample_hash_split(spark, sf_dir):
@@ -827,10 +936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_delay": q_crawl_robots_delay,
         "crawl_budget_topk": q_crawl_budget_topk,
         "crawl_priority_topk": q_crawl_priority_topk,
+        "crawl_wave_cap": q_crawl_wave_cap,
         "crawl_fetch_classify": q_crawl_fetch_classify,
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
         "crawl_hash_dup_mark": q_crawl_hash_dup_mark,
         "crawl_link_graph": q_crawl_link_graph,
+        "crawl_host_rank": q_crawl_host_rank,
         "crawl_wave_metrics": q_crawl_wave_metrics,
         "crawl_set_split": q_crawl_set_split,
         "crawl_point_lookup": q_crawl_point_lookup,
@@ -857,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": q_text_lang_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fp": q_text_rolling_fp,
+        "pipeline_corpus_select": q_pipeline_corpus_select,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
         "graph_pagerank": q_graph_pagerank,
@@ -1028,6 +1141,45 @@ def _ivf_oracle_sql(n_probe: int = 3, k: int = 10) -> str:
         """
 
 
+def _pipeline_oracle_sql() -> str:
+    from ieps_crawler_spark.operators.sampling import split_thresholds_hex
+
+    bounds = split_thresholds_hex({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = "\n                   ".join(
+        f"WHEN md5(CAST(doc_id AS VARCHAR)) < '{b}' THEN '{n}'"
+        for n, b in bounds[:-1]
+    )
+    return rf"""
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            t AS (
+              SELECT d.doc_id, d.text,
+                     len(regexp_extract_all(lower(d.text), '{_SL_PAT}')) AS sl,
+                     len(regexp_extract_all(lower(d.text), '{_EN_PAT}')) AS en,
+                     CASE WHEN length(trim(d.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+                     END AS toks
+              FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN sl > en THEN 'sl' WHEN en > sl THEN 'en'
+                     ELSE 'unk' END AS lang_pred,
+                     round((
+                       (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             <= 0.1 * length(text) THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN sl > 0 OR en > 0 THEN 1.0 ELSE 0.0 END)
+                     ) / 3.0, 4) AS quality,
+                     toks AS tokens
+              FROM t)
+            SELECT doc_id, lang_pred, quality, tokens,
+                   CASE {whens}
+                   ELSE '{bounds[-1][0]}' END AS split
+            FROM s
+            WHERE quality > 0.5 AND lang_pred <> 'unk'
+        """
+
+
 def _hash_split_oracle_sql() -> str:
     from ieps_crawler_spark.operators.sampling import split_thresholds_hex
 
@@ -1117,6 +1269,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE fetch_order <= greatest(1, 60000 // delay_ms)
         """,
+        "crawl_wave_cap": r"""
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 23) AS host,
+                     'http://h' || (o_custkey % 23) || '.gov.si/o' || o_orderkey || '/' AS canon_url,
+                     o_orderkey AS enq_seq,
+                     CAST((o_custkey % 23) % 2 AS INTEGER) AS priority,
+                     CASE (o_custkey % 23) % 3 WHEN 0 THEN 2000 WHEN 1 THEN 4000
+                     ELSE 12000 END AS delay_ms
+              FROM orders),
+            r1 AS (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY priority, enq_seq) AS r
+              FROM f),
+            w AS (SELECT * FROM r1 WHERE r <= greatest(1, 60000 // delay_ms)),
+            kept AS (SELECT * FROM w ORDER BY priority, enq_seq, host LIMIT 150),
+            r2 AS (
+              SELECT host, canon_url, priority, delay_ms,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority, enq_seq)
+                       AS fetch_order
+              FROM kept)
+            SELECT host, canon_url, priority, fetch_order,
+                   strftime(TIMESTAMP '2019-04-01 00:00:00'
+                     + to_milliseconds((fetch_order - 1) * delay_ms),
+                     '%Y-%m-%d %H:%M:%S') AS sched_ts_s
+            FROM r2
+        """,
         "crawl_priority_topk": r"""
             WITH f AS (
               SELECT 'h' || (o_custkey % 23) AS host,
@@ -1161,6 +1340,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT l_orderkey AS from_id, l_partkey AS to_id
               FROM lineitem)
             GROUP BY from_id
+        """,
+        "crawl_host_rank": r"""
+            WITH e AS (
+              SELECT l_orderkey % 97 AS fh, l_partkey % 97 AS th,
+                     l_orderkey AS fp
+              FROM lineitem
+              WHERE l_orderkey % 97 <> l_partkey % 97),
+            a AS (
+              SELECT th, count(DISTINCT fh) AS ref_hosts,
+                     count(DISTINCT fp) AS in_links
+              FROM e GROUP BY th)
+            SELECT 'h' || CAST(th AS VARCHAR) AS host, ref_hosts, in_links,
+                   CASE WHEN ref_hosts >= 64 THEN 0
+                        WHEN ref_hosts >= 16 THEN 1
+                        ELSE 2 END AS priority
+            FROM a
         """,
         "crawl_wave_metrics": r"""
             SELECT o_orderstatus, count(*) AS n,
@@ -1494,6 +1689,28 @@ def oracle_sql() -> dict[str, str]:
         # not re-derived: they're configuration; the ASSIGNMENT —
         # md5-of-key vs threshold string compare — is recomputed by
         # DuckDB independently)
+        # every stage is itself an oracled operator; this checks the
+        # COMPOSITION (dedup keepers -> lang/quality gate -> split)
+        "pipeline_corpus_select": _pipeline_oracle_sql(),
+        "pipeline_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                     coalesce(sum(toks) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+              FROM t)
+            SELECT doc_id, shard,
+                   CAST(floor(cumb / 512.0) AS BIGINT) AS seq_id,
+                   cumb % 512 AS seq_offset
+            FROM c
+        """,
         "sample_hash_split": _hash_split_oracle_sql(),
         "sample_deterministic": f"""
             SELECT doc_id FROM documents

@@ -50,9 +50,25 @@ def select_budget(
     wave: int,
     wave_seconds: int = 60,
     salt_shards: int = 0,
+    max_urls: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (batch, leftover). batch carries fetch_order (per-host rank),
     delay_ms and sched_ts; leftover is the untouched pending remainder.
+
+    ``max_urls`` bounds the WAVE globally (resource-bounded scheduling):
+    at a 10^10-URL frontier the union of all ready hosts' budgets can
+    exceed what one wave should materialize (fetch-join broadcast size,
+    extraction memory, snapshot write), so the scheduler keeps only the
+    globally most-important ``max_urls`` rows of the budgeted sets —
+    ordered by (priority, wave, enq_seq, host), a deterministic total
+    order since (host, enq_seq) is unique — and returns the rest to
+    pending untouched. This is where host-level priorities (see
+    ``Crawler(priority_table=...)``) become load-bearing: they decide
+    which hosts win when waves are resource-capped, while within a host
+    the FIFO/priority contract is unchanged. Selection is a global top-K
+    (sort-free TakeOrdered merge), never a single-partition sort; the
+    only extra cost is one anti-join to route the displaced rows back to
+    leftover. None (default) = unbounded waves, byte-identical behavior.
 
     ``salt_shards`` > 1 enables the skew-proof two-phase top-k for
     heavy-tailed hosts (north_rule: explicit skew handling): phase 1
@@ -94,8 +110,30 @@ def select_budget(
     # batch and leftover split the same ranked frame — cache so the
     # join+window runs once, not once per consumer
     ranked.cache()
+    within = ranked.filter(F.col("fetch_order") <= F.col("budget"))
+    capped_out = None
+    if max_urls is not None:
+        kept = within.orderBy("priority", "wave", "enq_seq", "host").limit(
+            max_urls
+        )
+        # per-host ranks compress so the crawl clock (sched_ts below)
+        # stays contiguous: a host that lost rows to the cap still
+        # fetches its survivors delay_ms apart from the wave start
+        kept = kept.withColumn(
+            "fetch_order", F.row_number().over(w).cast("long")
+        )
+        kept.cache()
+        # identity key is (host, wave, enq_seq): enq_seq is only unique
+        # per (host, wave) — an enq_seq collision across waves would
+        # otherwise silently drop the other wave's row from pending
+        capped_out = within.join(
+            kept.select("host", "wave", "enq_seq"),
+            ["host", "wave", "enq_seq"],
+            "left_anti",
+        ).select(*frontier.columns)
+        within = kept
     wave_start = F.lit(WAVE_EPOCH) + F.make_interval(secs=F.lit(wave * wave_seconds))
-    batch = ranked.filter(F.col("fetch_order") <= F.col("budget")).withColumn(
+    batch = within.withColumn(
         "sched_ts",
         (
             F.col("fetch_order") - F.lit(1)
@@ -107,6 +145,8 @@ def select_budget(
     leftover = ranked.filter(F.col("fetch_order") > F.col("budget")).select(
         *frontier.columns
     )
+    if capped_out is not None:
+        leftover = leftover.unionByName(capped_out)
     if pruned_out is not None:
         leftover = leftover.unionByName(pruned_out)
     return batch.drop("budget"), leftover

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_thresholds_hex", "hash_split", "deterministic_sample"]
+__all__ = [
+    "split_thresholds_hex",
+    "hash_split",
+    "deterministic_sample",
+    "pack_sequences",
+]
 
 
 def split_thresholds_hex(weights: dict[str, float]) -> list[tuple[str, str]]:
@@ -82,3 +87,46 @@ def deterministic_sample(
         return df
     bound = f"{int(fraction * (1 << 128)):032x}"
     return df.filter(_bucket(key_col, salt) < F.lit(bound))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    budget: int = 4096,
+    shards: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences —
+    the dataset-assembly step between curation and the data loader.
+
+    Deterministic streaming pack: docs are laid out in id order within
+    ``shards`` independent hash shards; a doc starting at cumulative
+    offset c lands in sequence floor(c / budget) at offset c % budget
+    (docs may straddle a boundary — the loader truncates/continues, the
+    standard concat-then-chunk layout). Returns
+    (id_col, shard, seq_id, offset).
+
+    Scale posture: each shard packs independently — one shuffle on the
+    shard key, a running-sum window per shard, no global sort and no
+    single-partition choke; shard count is the parallelism knob and the
+    layout is reproducible at any cluster size.
+    """
+    from pyspark.sql import Window
+
+    out = df.withColumn(
+        "_shard", F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return out.select(
+        id_col,
+        F.col("_shard").alias("shard"),
+        F.floor(cum_before / F.lit(float(budget))).cast("long").alias("seq_id"),
+        F.pmod(cum_before, F.lit(budget)).alias("offset"),
+    )

@@ -72,6 +72,8 @@ class Crawler:
         politeness_salt_shards: int = 16,
         compact_every: int = 8,
         priority_expr=None,
+        priority_table: DataFrame | None = None,
+        max_urls_per_wave: int | None = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -115,6 +117,14 @@ class Crawler:
         # BFS-with-preference: optional Column scoring discovered links
         # (lower fetches earlier within a host budget); None = pure BFS
         self.priority_expr = priority_expr
+        # (host, priority) dim for host-level lanes (recrawl scheduling:
+        # feed crawl_host_rank-style authority buckets here) and global
+        # wave cap — at a 10^10 frontier a wave must be resource-bounded;
+        # the cap keeps the globally most-important rows of the budgeted
+        # sets and returns the rest to pending (operators.politeness).
+        # Both default off = byte-identical to the reference ordering.
+        self.priority_table = priority_table
+        self.max_urls_per_wave = max_urls_per_wave
         # fold the append-only add-deltas every k waves so the per-wave
         # seen scan reads O(1) directories instead of O(waves) (VERDICT r1
         # residual: file-count growth linear in waves); 0 disables
@@ -293,6 +303,8 @@ class Crawler:
                     else None
                 ),
                 priority_expr=self.priority_expr,
+                priority_table=self.priority_table,
+                max_urls=self.max_urls_per_wave,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

@@ -219,6 +219,8 @@ def run_wave(
     seed_hosts: DataFrame | None = None,
     seen_rows_hint: int | None = None,
     priority_expr=None,
+    priority_table: DataFrame | None = None,
+    max_urls: int | None = None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -227,7 +229,8 @@ def run_wave(
     if delays is None:
         delays = host_delays(sites)
     batch, leftover = select_budget(
-        pending, delays, wave, wave_seconds, salt_shards=politeness_salt_shards
+        pending, delays, wave, wave_seconds,
+        salt_shards=politeness_salt_shards, max_urls=max_urls,
     )
 
     # ---- 2. fetch = corpus ⋈ broadcast(batch) (missing → 404) ------------
@@ -471,7 +474,31 @@ def run_wave(
     # injections keep priority 0 — the reference's highest message class
     # stays ahead. Default None = lit(0) = pure BFS, byte-identical to
     # the unhooked wave (tests/test_priority.py).
-    prio = F.lit(0) if priority_expr is None else priority_expr
+    # priority_table: (host, priority) dim joined broadcast onto the
+    # discovered links — the recrawl-scheduler feed (e.g. the
+    # crawl_host_rank authority buckets). Host-level lanes matter when
+    # waves are resource-capped (max_urls): they decide which hosts win
+    # the cap. Resolution order: row-level priority_expr (where
+    # non-null) > host lane > 0. The dim must be broadcast-sized
+    # (bounded by distinct hosts with a non-default lane) — pre-join
+    # onto the frontier yourself if it is not.
+    if priority_table is not None:
+        cand = cand.join(
+            F.broadcast(
+                priority_table.select(
+                    "host", F.col("priority").alias("_host_prio")
+                )
+            ),
+            "host",
+            "left",
+        )
+        host_prio = F.col("_host_prio").cast("int")
+        if priority_expr is None:
+            prio = F.coalesce(host_prio, F.lit(0))
+        else:
+            prio = F.coalesce(priority_expr, host_prio, F.lit(0))
+    else:
+        prio = F.lit(0) if priority_expr is None else priority_expr
     cand = cand.select(
         "canon_url",
         "host",

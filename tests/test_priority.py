@@ -151,3 +151,103 @@ def test_priority_stamped_on_discovered_links(spark, corpus):
     assert any(r["data_type"] != 0 for r in rows), "no binary discovered"
     for r in rows:
         assert r["priority"] == (1 if r["data_type"] != 0 else 0)
+
+
+# -------------------------------------------- resource-bounded waves (cap)
+
+
+@pytest.mark.parametrize("salt_shards", [0, 4])
+def test_wave_cap_exact_selection(spark, salt_shards):
+    # 2 hosts x 6 urls, delay 12s -> budget 5 each; cap 6 -> all 5 of the
+    # priority-0 host + the first URL of the priority-1 host, per-host
+    # fetch_order compressed to stay contiguous
+    rows = [
+        (f"http://{h}.si/u{i}/", f"{h}.si", 0, None, 0, p, i)
+        for h, p in (("a", 0), ("b", 1))
+        for i in range(6)
+    ]
+    delays = spark.createDataFrame(
+        [("a.si", 12_000), ("b.si", 12_000)], "host string, delay_ms long"
+    )
+    batch, leftover = select_budget(
+        _frontier(spark, rows), delays, wave=0, wave_seconds=60,
+        salt_shards=salt_shards, max_urls=6,
+    )
+    got = sorted(
+        (r["host"], r["enq_seq"], r["fetch_order"]) for r in batch.collect()
+    )
+    assert got == [
+        ("a.si", 0, 1), ("a.si", 1, 2), ("a.si", 2, 3),
+        ("a.si", 3, 4), ("a.si", 4, 5), ("b.si", 0, 1),
+    ]
+    lo = sorted((r["host"], r["enq_seq"]) for r in leftover.collect())
+    assert lo == [
+        ("a.si", 5), ("b.si", 1), ("b.si", 2),
+        ("b.si", 3), ("b.si", 4), ("b.si", 5),
+    ]
+    # displaced rows come back schema-untouched for the pending union
+    assert leftover.columns == _frontier(spark, rows[:1]).columns
+
+
+def test_capped_crawl_same_closure_bounded_waves(
+    spark, corpus, tmp_path, default_run
+):
+    # a resource-bounded crawl converges to the SAME reachable set and
+    # classification (completeness is order-independent), every wave
+    # fetches at most the cap, and it necessarily takes more waves
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    bodies = {
+        r["url"]: r["content"] for _, r in corpus["sitemap_bodies"].iterrows()
+    }
+    c = Crawler(
+        spark, pages, sites, bodies, str(tmp_path / "cap"),
+        wave_seconds=60, max_urls_per_wave=40,
+    )
+    st = c.run(seeds=corpus["seeds"], max_waves=60)
+    assert st.waves < 60, "capped crawl did not converge"
+    got = _fetch_table(c)
+    assert {u: t[0] for u, t in got.items()} == {
+        u: t[0] for u, t in default_run.items()
+    }
+    per_wave = c.results().groupBy("wave").count().collect()
+    assert all(r["count"] <= 40 for r in per_wave)
+
+
+def test_priority_table_prefers_host_under_cap(spark, corpus, tmp_path):
+    # two capped crawls with opposite host lanes: in each, the preferred
+    # host's pages complete no later (sum of fetch waves) than when the
+    # same host is deprioritized; closures stay identical
+    from ieps_crawler_spark.corpus import ALL_HOSTS
+
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    bodies = {
+        r["url"]: r["content"] for _, r in corpus["sitemap_bodies"].iterrows()
+    }
+    target = ALL_HOSTS[1]
+
+    def run(tag, lane_for_target):
+        pt = spark.createDataFrame(
+            [(h, lane_for_target if h == target else 1 - lane_for_target)
+             for h in ALL_HOSTS],
+            "host string, priority int",
+        )
+        c = Crawler(
+            spark, pages, sites, bodies, str(tmp_path / tag),
+            wave_seconds=60, max_urls_per_wave=40, priority_table=pt,
+        )
+        st = c.run(seeds=corpus["seeds"], max_waves=60)
+        assert st.waves < 60
+        return _fetch_table(c)
+
+    pref = run("pref", 0)
+    depref = run("depref", 1)
+    assert {u: t[0] for u, t in pref.items()} == {
+        u: t[0] for u, t in depref.items()
+    }
+    host_urls = [u for u in pref if f"//{target}/" in u]
+    assert host_urls, "target host never crawled?"
+    waves_pref = sum(pref[u][1] for u in host_urls)
+    waves_depref = sum(depref[u][1] for u in host_urls)
+    assert waves_pref <= waves_depref

@@ -62,3 +62,34 @@ def test_thresholds_cover_full_range():
     assert b[0][1] < b[1][1] <= b[2][1]
     with pytest.raises(ValueError):
         split_thresholds_hex({"a": 0.0})
+
+
+def test_pack_sequences_layout(spark):
+    from ieps_crawler_spark.operators.sampling import pack_sequences
+
+    # one shard, budget 10: docs of 4,4,4,7,1 tokens -> offsets
+    # 0,4,8(straddles),2,9 and seq ids 0,0,0,1,1
+    rows = [(i, t) for i, t in enumerate([4, 4, 4, 7, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens int")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["offset"])
+        for r in pack_sequences(df, budget=10, shards=1).collect()
+    }
+    assert got == {
+        0: (0, 0, 0),
+        1: (0, 0, 4),
+        2: (0, 0, 8),
+        3: (0, 1, 2),
+        4: (0, 1, 9),
+    }
+
+
+def test_pack_sequences_partition_independent(spark, docs):
+    from ieps_crawler_spark.operators.sampling import pack_sequences
+
+    toks = docs.withColumn("tokens", (F.col("doc_id") % 37 + 1).cast("int"))
+    a = sorted(map(tuple, pack_sequences(toks, shards=8).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(toks.repartition(13), shards=8).collect())
+    )
+    assert a == b
