@@ -809,6 +809,73 @@ def q_pipeline_corpus_select(spark, sf_dir):
     return hash_split(scored, "doc_id")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition signals (Gopher-style filters): duplicate
+    sentence share + duplicate word-occurrence share."""
+    from ieps_crawler_spark.operators.text import dup_line_ratio, dup_word_ratio
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(dup_line_ratio("text"), 6).alias("dup_sent_ratio"),
+        F.round(dup_word_ratio("text"), 6).alias("dup_word_ratio"),
+    )
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """Regex-tier PII scrub: email/phone counts + md5 of the redacted
+    text (the hash proves byte-exact replacement parity vs the oracle)."""
+    from ieps_crawler_spark.operators.text import (
+        email_count,
+        phone_count,
+        redact_pii,
+    )
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        email_count("text").alias("n_emails"),
+        phone_count("text").alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+def q_pipeline_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: train docs sharing any word 5-gram with
+    the held-out set (doc_id % 50 == 0) get flagged."""
+    from ieps_crawler_spark.operators.dedup import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(tr, ev, "text", "doc_id", 5)
+
+
+def q_pipeline_source_stats(spark, sf_dir):
+    """Per-source curation report: doc/token counts + average quality
+    from the EXACT integer gate count (summing the float score is
+    order-dependent; summing ints is not — the events_sessionize r1
+    lesson applied)."""
+    from ieps_crawler_spark.operators.text import (
+        quality_gates_passed,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+        F.sum(quality_gates_passed("text").cast("long")).alias("sum_gates"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "sum_gates",
+        F.round(
+            F.col("sum_gates") / (F.lit(3.0) * F.col("n_docs")), 4
+        ).alias("avg_quality"),
+    )
+
+
 def q_pipeline_pack_sequences(spark, sf_dir):
     """Dataset assembly: token-counted docs packed into fixed-budget
     training sequences, independently per hash shard (no global sort)."""
@@ -968,8 +1035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": q_text_lang_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fp": q_text_rolling_fp,
+        "text_repetition": q_text_repetition,
+        "text_redact_pii": q_text_redact_pii,
         "pipeline_corpus_select": q_pipeline_corpus_select,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "pipeline_decontaminate": q_pipeline_decontaminate,
+        "pipeline_source_stats": q_pipeline_source_stats,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
         "graph_pagerank": q_graph_pagerank,
@@ -1177,6 +1248,20 @@ def _pipeline_oracle_sql() -> str:
                    ELSE '{bounds[-1][0]}' END AS split
             FROM s
             WHERE quality > 0.5 AND lang_pred <> 'unk'
+        """
+
+
+def _redact_oracle_sql() -> str:
+    from ieps_crawler_spark.operators.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                   md5(regexp_replace(
+                     regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+            FROM documents
         """
 
 
@@ -1710,6 +1795,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cumb / 512.0) AS BIGINT) AS seq_id,
                    cumb % 512 AS seq_offset
             FROM c
+        """,
+        "text_repetition": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\.\s+'),
+                       x -> length(trim(x)) > 0) AS sents,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS words
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(sents) > 0
+                     THEN (len(sents) - len(list_distinct(sents)))
+                          / CAST(len(sents) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_sent_ratio,
+                   round(CASE WHEN length(trim(text)) > 0 AND len(words) > 0
+                     THEN (len(words) - len(list_distinct(words)))
+                          / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_word_ratio
+            FROM s
+        """,
+        # email counts/redaction first, then phone — mirrored order;
+        # patterns imported from the operator so both engines run the
+        # same regex source (Java regex and RE2 agree on this subset)
+        "text_redact_pii": _redact_oracle_sql(),
+        "pipeline_decontaminate": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 4, 1)),
+                       i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 4), ' ')
+                     ))) AS gram
+              FROM documents),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+            h AS (
+              SELECT doc_id, count(*) AS n_eval_hits
+              FROM tr JOIN ev USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+                   coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "pipeline_source_stats": rf"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS toks,
+                     (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           <= 0.1 * length(text) THEN 1 ELSE 0 END)
+                   + (CASE WHEN len(regexp_extract_all(lower(text), '{_SL_PAT}')) > 0
+                           OR len(regexp_extract_all(lower(text), '{_EN_PAT}')) > 0
+                      THEN 1 ELSE 0 END) AS gates
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   sum(toks) AS total_tokens,
+                   sum(gates) AS sum_gates,
+                   round(sum(gates) / (3.0 * count(*)), 4) AS avg_quality
+            FROM t GROUP BY source
         """,
         "sample_hash_split": _hash_split_oracle_sql(),
         "sample_deterministic": f"""

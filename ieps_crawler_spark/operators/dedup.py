@@ -546,3 +546,59 @@ def neardup_clusters(
         "cluster_id",
         (F.col(id_col) == F.col("_canon")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------- decontamination
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination signal (the GPT-3-style n-gram
+    collision check, n configurable): flag every training doc sharing
+    at least one distinct word n-gram with the eval set. Returns
+    (id_col, n_eval_hits, contaminated) for every train row.
+
+    Scale posture: eval grams are broadcast (eval sets are
+    benchmark-sized by construction — if yours is not, swap the
+    broadcast for a shuffle join on the gram key); the train side is
+    one scan + one map-side-combining aggregate, never a self-join."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("words"),
+        )
+        return g.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+                        f"i -> array_join(slice(words, i, {n}), ' '))"
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    ev = grams(evalset).select("gram").distinct()
+    hits = (
+        grams(train)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .withColumnRenamed("id", id_col)
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_hits", F.lit(0).cast("long")).alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

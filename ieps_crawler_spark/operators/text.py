@@ -103,3 +103,66 @@ def rolling_fingerprints(col: str = "text", window: int = 32, stride: int = 16) 
 
 def _norm_sql(col: str) -> str:
     return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+
+
+# --------------------------------------------------- repetition / PII ops
+
+# PII patterns shared by the Spark and DuckDB sides (Java regex and RE2
+# agree on this subset: classes, bounded repeats, no backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+
+def _sentences(col: str) -> Column:
+    parts = F.split(F.lower(F.col(col)), r"\.\s+")
+    return F.filter(parts, lambda s: F.length(F.trim(s)) > 0)
+
+
+def dup_line_ratio(col: str = "text") -> Column:
+    """Within-document repetition: share of duplicate sentences
+    (Gopher-style repetition filter signal). 0 for empty docs."""
+    s = _sentences(col)
+    n = F.size(s).cast("double")
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(s)).cast("double")) / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_word_ratio(col: str = "text") -> Column:
+    """Share of duplicate word occurrences (lowercased whitespace
+    tokens). 0 for empty docs."""
+    words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    n = F.size(words).cast("double")
+    return F.when(
+        (F.length(F.trim(F.col(col))) > 0) & (n > 0),
+        (n - F.size(F.array_distinct(words)).cast("double")) / n,
+    ).otherwise(F.lit(0.0))
+
+
+def email_count(col: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(EMAIL_RE), 0))
+
+
+def phone_count(col: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(PHONE_RE), 0))
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Mask emails then phone-number-shaped digit runs — the cheap
+    regex tier of a PII scrub (entity-model tiers plug in behind the
+    same column contract). Pure JVM regexp_replace: codegen, no UDF."""
+    no_mail = F.regexp_replace(F.col(col), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_mail, PHONE_RE, "<PHONE>")
+
+
+def quality_gates_passed(col: str = "text") -> Column:
+    """Integer 0..3 count of passed quality gates — the exact-arithmetic
+    twin of quality_score for AGGREGATION (summing the float score is
+    order-dependent at the 16th digit; summing this int is exact)."""
+    length = F.length(F.col(col)).cast("double")
+    len_ok = ((length >= 50) & (length <= 20000)).cast("int")
+    punct_ok = F.coalesce((punct_ratio(col) <= 0.1).cast("int"), F.lit(0))
+    stop_ok = (
+        (stopword_ratio(col, "sl") > 0.0) | (stopword_ratio(col, "en") > 0.0)
+    ).cast("int")
+    return len_ok + punct_ok + F.coalesce(stop_ok, F.lit(0))
