@@ -113,3 +113,35 @@ def test_fetch_join_no_corpus_shuffle(spark, tmp_path):
     assert "SortMergeJoin" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "SelectedBucketsCount" in p
+
+
+def test_pipeline_family_is_pure_jvm(spark, sf_dir):
+    """The curation/sampling/pipeline query family claims zero Python
+    UDFs (whole plan stays JVM-side) — make the claim executable."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in [
+        "pipeline_corpus_select",
+        "pipeline_pack_sequences",
+        "pipeline_decontaminate",
+        "pipeline_source_stats",
+        "sample_hash_split",
+        "sample_deterministic",
+        "text_repetition",
+        "text_redact_pii",
+        "dedup_cluster_canonical",
+        "crawl_host_rank",
+        "crawl_wave_cap",
+    ]:
+        p = plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval side of the contamination join must broadcast (the train
+    side streams) — a shuffle join here would move every train gram."""
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["pipeline_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
