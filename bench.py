@@ -84,7 +84,8 @@ def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
 
 def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
                 n_seeds: int, max_waves: int, use_bloom: bool = False,
-                bloom_shards: int = 16, seen_filter: str = "bloom") -> dict:
+                bloom_shards: int = 16, seen_filter: str = "bloom",
+                max_urls_per_wave: int | None = None) -> dict:
     from ieps_crawler_spark.plans.crawl import Crawler
     from ieps_crawler_spark.webgen import seeds_df
 
@@ -97,7 +98,7 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
         crawler = Crawler(
             spark, pages, sites, None, f"{work}/ckpt", wave_seconds=1_000_000,
             use_bloom=use_bloom, bloom_shards=bloom_shards,
-            seen_filter=seen_filter,
+            seen_filter=seen_filter, max_urls_per_wave=max_urls_per_wave,
         )
         sdf = seeds_df(spark, n_pages, n_hosts, n_seeds)
         stats = crawler.run(seeds=sdf, max_waves=max_waves)
@@ -196,6 +197,18 @@ def main() -> None:
             use_bloom=True, seen_filter="cuckoo",
         )
         extras["crawl_cuckoo"] = crawl_c
+
+    # optional fourth config: resource-bounded waves (max_urls_per_wave
+    # cap) — evidences that per-wave cost is a dial (flat wave seconds,
+    # more waves, same URL total). Off by default: BENCH_CAP=<N> enables
+    cap = int(os.environ.get("BENCH_CAP", "0"))
+    if (cap and not only) or "crawl_capped" in only:
+        crawl_cap = bench_crawl(
+            spark, sf_dir, args.replicate, args.hosts, args.seeds,
+            max_waves=max(args.waves * 4, 24),
+            max_urls_per_wave=cap or 30_000,
+        )
+        extras["crawl_capped"] = crawl_cap
 
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
     for name, fn in entry_mod.queries().items():
