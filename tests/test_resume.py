@@ -84,3 +84,33 @@ def test_resume_requires_state(spark, setup, tmp_path):
     c = Crawler(spark, pages, sites, bodies, str(tmp_path / "empty"))
     with pytest.raises(ValueError):
         c.run(resume=True)
+
+
+def test_resume_identical_under_wave_cap(spark, setup, tmp_path):
+    """Resume with resource-bounded waves: capped runs return displaced
+    rows to pending — the snapshot/pending contract must survive a
+    restart byte-identically (same results, links, seen set)."""
+    corpus, pages, sites, bodies = setup
+    kw = dict(wave_seconds=60, max_urls_per_wave=40)
+    full = Crawler(
+        spark, pages, sites, bodies, str(tmp_path / "cfull"), **kw
+    )
+    full.run(seeds=corpus["seeds"], max_waves=9)
+
+    part = Crawler(
+        spark, pages, sites, bodies, str(tmp_path / "cpart"), **kw
+    )
+    part.run(seeds=corpus["seeds"], max_waves=3)
+    resumed = Crawler(
+        spark, pages, sites, bodies, str(tmp_path / "cpart"), **kw
+    )
+    resumed.run(resume=True, max_waves=9)
+
+    cols = ["url", "page_type", "http_status", "content_hash", "wave",
+            "fetch_order"]
+    a = full.results().select(cols).sort("url").collect()
+    b = resumed.results().select(cols).sort("url").collect()
+    assert a == b
+    sa = {r["canon_url"] for r in full.seen().collect()}
+    sb = {r["canon_url"] for r in resumed.seen().collect()}
+    assert sa == sb
