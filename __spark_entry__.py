@@ -990,8 +990,10 @@ def q_events_sessionize(spark, sf_dir):
 # ----------------------------------------------------------------- crawl e2e
 
 def q_crawl_e2e(spark, sf_dir):
-    """Full 3-wave BFS crawl over the documents-derived corpus (rows-only:
-    iterative, checkpointed — not SQL-expressible)."""
+    """Full 3-wave BFS crawl over the documents-derived corpus — iterative
+    and checkpointed on the Spark side, but the fixed wave count means the
+    whole fixpoint unrolls into straight-line SQL: hash-verified end-to-end
+    against the per-wave CTE twin in _crawl_e2e_oracle_sql()."""
     return _crawl_results(spark, sf_dir, max_waves=3)
 
 
@@ -1279,6 +1281,226 @@ def _hash_split_oracle_sql() -> str:
                    ELSE '{bounds[-1][0]}' END AS split
             FROM documents
         """
+
+
+def _crawl_e2e_oracle_sql(
+    wave_seconds: int = 600,
+    n_seeds: int = 3,
+    max_waves: int = 3,
+    n_hosts: int = 8,
+) -> str:
+    """DuckDB twin of the FULL iterative BFS crawl (q_crawl_e2e): the
+    driver loop has a fixed wave count, so the fixpoint unrolls into one
+    straight-line SQL query — one CTE block per wave, each reproducing the
+    engine's exact wave contract (plans/wave.py, operators/politeness.py):
+
+      rank:  per-host FIFO rank over (wave, enq_seq) + crawl-delay budget
+      sel:   rows within budget fetch; the rest carry to the next wave
+      cls:   corpus join (miss -> 404), robots '/x' gate on even hosts
+      dup:   first-wins content-hash marking (order: host, fetch_order)
+             + prior-wave hash set
+      cand:  outlinks rebuilt ARITHMETICALLY from webgen.py's link rules
+             (t1=7d+1, t2=13d+5, t3=d+1 mod total; dead if d%7=0, pdf if
+             d%10=0), ext-filter -> in-page distinct-first-wins -> per-wave
+             in-batch dedup -> per-host enq_seq numbering BEFORE seen-dedup
+             (the engine assigns enq_seq pre-anti-join, wave.py:503-523)
+      inj:   first-touch root injection for newly discovered hosts
+      nf:    (cand ∪ injected) dedup keeping min enq_seq per url
+
+    Everything (html bytes, sha256 content hash, link targets, hosts) is a
+    deterministic function of the `documents` table, so the oracle needs no
+    other input. Verified row-exact vs the engine at sf0.001/0.01/0.1 and,
+    via tests/test_e2e_oracle.py, under budget-binding configs (tiny
+    wave_seconds forces leftover carry-over across waves)."""
+    wave_ms = wave_seconds * 1000
+    even_budget = max(1, wave_ms // 1000)  # Crawl-delay: 1 on even hosts
+    odd_budget = max(1, wave_ms // 4000)  # DEFAULT_CRAWL_DELAY_MS
+    group_link = 1 << 40
+
+    def u(x: str) -> str:  # webgen._url
+        return (
+            f"'http://h' || ((({x})*({x})+({x}))%{n_hosts}) || "
+            f"'.gov.si/d' || ({x}) || '/'"
+        )
+
+    host_of = f"'h' || (((i)*(i)+(i))%{n_hosts}) || '.gov.si'"
+    dead = (
+        f"'http://h' || (((d)*(d)+(d))%{n_hosts}) || '.gov.si/dead' || d || '/'"
+    )
+    pdf = (
+        f"'http://h' || (((d)*(d)+(d))%{n_hosts}) || "
+        f"'.gov.si/files/f' || d || '.pdf'"
+    )
+    html = (
+        "'<html><head><title>doc ' || d || '</title></head><body><h1>d' || d"
+        " || '</h1><p>' || clean || '</p>' || "
+        f"'<a href=\"' || {u('t1')} || '\">next</a>' || "
+        f"'<a href=\"' || {u('t2')} || '\">more</a>' || "
+        f"'<a href=\"' || {u('t3')} || '\">succ</a>' || "
+        f"CASE WHEN d%7=0 THEN '<a href=\"' || {dead} || '\">gone</a>' "
+        "ELSE '' END || "
+        f"CASE WHEN d%10=0 THEN '<a href=\"' || {pdf} || '\">doc</a>' "
+        "ELSE '' END || '</body></html>'"
+    )
+    head = f"""
+WITH p AS (
+  SELECT count(*)::BIGINT AS total,
+         CASE WHEN {n_seeds} > 3
+              THEN greatest(1, count(*)::BIGINT // {n_seeds})
+              ELSE 1 END AS stride
+  FROM documents),
+tgt AS (
+  SELECT doc_id::BIGINT AS d,
+         regexp_replace(text, '[<>&"]', ' ', 'g') AS clean,
+         (7*doc_id::BIGINT+1) % total AS t1,
+         (13*doc_id::BIGINT+5) % total AS t2,
+         (doc_id::BIGINT+1) % total AS t3
+  FROM documents, p
+),
+corpus AS (
+  SELECT d AS doc_id, {u('d')} AS url, upper(sha256({html})) AS content_hash
+  FROM tgt
+),
+rawl AS (
+  SELECT d AS doc_id, 0 AS slot, {u('t1')} AS url, 'PAGE' AS kind FROM tgt
+  UNION ALL SELECT d, 1, {u('t2')}, 'PAGE' FROM tgt
+  UNION ALL SELECT d, 2, {u('t3')}, 'PAGE' FROM tgt
+  UNION ALL SELECT d, 3, {dead}, 'PAGE' FROM tgt WHERE d%7=0
+  UNION ALL SELECT d, 4, {pdf}, 'DATA' FROM tgt WHERE d%10=0
+),
+plinks AS (
+  SELECT * FROM rawl WHERE kind='PAGE'
+  QUALIFY row_number() OVER (PARTITION BY doc_id, url ORDER BY slot)=1
+),
+links AS (
+  SELECT doc_id, url, kind,
+         row_number() OVER (PARTITION BY doc_id ORDER BY (kind='DATA'), slot)
+           - 1 AS pos
+  FROM (SELECT * FROM plinks UNION ALL SELECT * FROM rawl WHERE kind='DATA')
+),
+seedrows AS (
+  SELECT j AS pos, {u('i')} AS canon_url, {host_of} AS host
+  FROM (SELECT j, j*stride AS i FROM range({n_seeds}) t(j), p), p
+  WHERE i < total
+),
+f0raw AS (
+  SELECT canon_url, host, 0 AS data_type, 0 AS wave,
+         {group_link} + pos AS enq_seq
+  FROM seedrows
+  UNION ALL
+  SELECT DISTINCT 'http://' || host || '/', host, 0, 0, 0 FROM seedrows
+),
+pend0 AS (
+  SELECT * FROM f0raw
+  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY enq_seq)=1
+),
+seen0 AS (SELECT canon_url FROM pend0),
+known0 AS (SELECT DISTINCT host FROM seedrows),
+hash0 AS (SELECT NULL::VARCHAR AS h WHERE FALSE)
+"""
+    blocks = []
+    for k in range(max_waves):
+        blocks.append(f""",
+rank{k} AS (
+  SELECT f.*,
+         row_number() OVER (PARTITION BY host ORDER BY wave, enq_seq)::BIGINT
+           AS fetch_order,
+         CASE WHEN regexp_extract(host, 'h(\\d+)', 1)::INT % 2 = 0
+              THEN {even_budget} ELSE {odd_budget} END AS budget
+  FROM pend{k} f
+),
+sel{k} AS (SELECT * FROM rank{k} WHERE fetch_order <= budget),
+lft{k} AS (SELECT canon_url, host, data_type, wave, enq_seq
+           FROM rank{k} WHERE fetch_order > budget),
+cls{k} AS (
+  SELECT s.canon_url, s.host, s.data_type, s.fetch_order,
+         (regexp_extract(s.host, 'h(\\d+)', 1)::INT % 2 = 0
+          AND s.canon_url LIKE 'http://' || s.host || '/x%') AS denied,
+         c.doc_id AS d, c.content_hash AS chash
+  FROM sel{k} s LEFT JOIN corpus c ON s.canon_url = c.url
+),
+dup{k} AS (
+  SELECT *,
+    CASE WHEN denied THEN NULL WHEN d IS NULL THEN 404 ELSE 200 END
+      AS http_status,
+    CASE WHEN NOT denied AND d IS NOT NULL THEN chash END AS content_hash,
+    row_number() OVER (
+      PARTITION BY CASE WHEN NOT denied AND d IS NOT NULL AND data_type=0
+                        THEN chash ELSE canon_url END
+      ORDER BY host, fetch_order) AS hrn,
+    COALESCE(chash IN (SELECT h FROM hash{k}), FALSE) AS hseen
+  FROM cls{k}
+),
+res{k} AS (
+  SELECT canon_url AS url, host,
+    CASE data_type WHEN 0 THEN 'PAGE' WHEN 1 THEN 'IMG' ELSE 'DATA' END
+      AS kind,
+    CASE WHEN denied THEN 'DISALLOWED'
+         WHEN http_status = 404 THEN 'INVALID'
+         WHEN data_type=0 AND (hseen OR hrn>1) THEN 'DUPLICATE'
+         WHEN data_type=0 THEN 'HTML'
+         ELSE 'BINARY' END AS page_type,
+    http_status, content_hash, {k} AS wave, fetch_order, d
+  FROM dup{k}
+),
+hash{k + 1} AS (
+  SELECT h FROM hash{k}
+  UNION
+  SELECT DISTINCT content_hash FROM res{k} WHERE page_type='HTML'
+),
+cand{k} AS (
+  SELECT l.url AS canon_url, split_part(l.url,'/',3) AS host,
+         CASE l.kind WHEN 'PAGE' THEN 0 WHEN 'IMG' THEN 1 ELSE 2 END
+           AS data_type,
+         r.host AS parent_host, r.fetch_order AS parent_rank, l.pos
+  FROM res{k} r JOIN links l ON l.doc_id = r.d
+  WHERE r.page_type='HTML'
+  QUALIFY row_number() OVER (
+    PARTITION BY l.url ORDER BY r.host, r.fetch_order, l.pos)=1
+),
+enq{k} AS (
+  SELECT canon_url, host, data_type, {k + 1} AS wave,
+         {group_link} + row_number() OVER (
+           PARTITION BY host ORDER BY parent_host, parent_rank, pos)
+           AS enq_seq
+  FROM cand{k}
+),
+new{k} AS (
+  SELECT * FROM enq{k} WHERE canon_url NOT IN (SELECT canon_url FROM seen{k})
+),
+nh{k} AS (
+  SELECT DISTINCT host FROM new{k}
+  WHERE host NOT IN (SELECT host FROM known{k})
+),
+inj{k} AS (
+  SELECT 'http://' || host || '/' AS canon_url, host, 0 AS data_type,
+         {k + 1} AS wave, 0::BIGINT AS enq_seq
+  FROM nh{k}
+  WHERE 'http://' || host || '/' NOT IN (SELECT canon_url FROM seen{k})
+),
+nf{k} AS (
+  SELECT * FROM (SELECT * FROM new{k} UNION ALL SELECT * FROM inj{k})
+  QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY enq_seq)=1
+),
+pend{k + 1} AS (
+  SELECT * FROM lft{k}
+  UNION ALL
+  SELECT canon_url, host, data_type, wave, enq_seq FROM nf{k}
+),
+seen{k + 1} AS (
+  SELECT canon_url FROM seen{k} UNION SELECT canon_url FROM nf{k}
+),
+known{k + 1} AS (SELECT host FROM known{k} UNION SELECT host FROM nh{k})
+""")
+    cols = "url, host, kind, page_type, http_status, content_hash, wave, fetch_order"
+    tail = (
+        f"\nSELECT {cols} FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {cols} FROM res{k}" for k in range(max_waves)
+        )
+        + "\n)"
+    )
+    return head + "".join(blocks) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1930,4 +2152,5 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM sess GROUP BY user_id, sess_id
         """,
+        "crawl_e2e": _crawl_e2e_oracle_sql(),
     }
