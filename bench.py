@@ -68,14 +68,23 @@ def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
     )
     pages = spark.table(table)
     n_pages = pages.count()
-    # untimed warmup: a tiny crawl forks the Arrow workers, JITs the
-    # codegen paths and warms the shuffle machinery so the timed
-    # section measures steady state, not JVM cold start
+    # untimed warmup, two gears: a tiny 2-wave crawl forks the Arrow
+    # workers and JITs the small-wave (AQE-off) paths, then ONE full-size
+    # wave with the real seed table JITs the large-wave plan shape the
+    # first timed wave will run — AQE re-planning, the salted two-phase
+    # politeness top-k and the wide fetch-join codegen are all distinct
+    # code paths that the small gearbox never touches, and paying their
+    # first-compile inside the timed section skewed wave-0 by up to 2x.
+    from ieps_crawler_spark.webgen import seeds_df
+
     warm_dir = tempfile.mkdtemp(prefix="ieps_warm_")
     try:
         warm = Crawler(spark, pages, sites, None, f"{warm_dir}/warm",
                        wave_seconds=1_000)
         warm.run(seeds=seeds[:2], max_waves=2)
+        big = Crawler(spark, pages, sites, None, f"{warm_dir}/big",
+                      wave_seconds=1_000_000)
+        big.run(seeds=seeds_df(spark, n_pages, n_hosts, n_seeds), max_waves=1)
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
     _CORPUS_MEMO[key] = (pages, sites, n_pages)
@@ -93,6 +102,23 @@ def bench_crawl(spark, sf_dir: str, replicate: int, n_hosts: int,
         spark, sf_dir, replicate, n_hosts, n_seeds
     )
     work = tempfile.mkdtemp(prefix="ieps_bench_")
+    if use_bloom:
+        # per-config warmup: the filter build/probe (bloom bitmap OR /
+        # cuckoo fingerprint kernels, cogrouped probe join) are code paths
+        # the shared corpus warmup never runs; JIT them on a toy crawl so
+        # the timed section measures the filter, not its first compile
+        from ieps_crawler_spark.webgen import web_from_documents
+
+        _, _, wseeds = web_from_documents(
+            spark, sf_dir, replicate=replicate, n_hosts=n_hosts,
+            n_seeds=n_seeds,
+        )
+        warm = Crawler(
+            spark, pages, sites, None, f"{work}/warm", wave_seconds=1_000,
+            use_bloom=True, bloom_shards=bloom_shards,
+            seen_filter=seen_filter,
+        )
+        warm.run(seeds=wseeds[:2], max_waves=2)
     try:
         t0 = time.time()
         crawler = Crawler(
