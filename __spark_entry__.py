@@ -517,6 +517,41 @@ def q_crawl_assets(spark, sf_dir):
     )
 
 
+def q_crawl_refresh_topk(spark, sf_dir):
+    """Staleness-driven re-crawl scheduling: per host, the oldest pages
+    past a 48 h age cutoff win the same politeness budget a discovery
+    wave gets (the follow-up policy the crawl-once reference lacks).
+    Pages synthesized from documents: 7 hosts, capture age cycling over
+    120 hours, per-host crawl delays 2-8 s."""
+    import datetime as dt
+
+    from ieps_crawler_spark.operators.politeness import refresh_schedule
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".gov.si"))
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), d.cast("string"), F.lit("/")).alias("url"),
+        host.alias("host"),
+        (
+            F.lit(dt.datetime(2019, 4, 1)) + F.make_interval(hours=(d % 120))
+        ).alias("warc_ts"),
+    )
+    delays = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".gov.si")).alias("host"),
+        ((F.col("id") + 2) * 1000).alias("delay_ms"),
+    )
+    out = refresh_schedule(
+        pages, delays, dt.datetime(2019, 4, 6), min_age_seconds=48 * 3600,
+        wave_seconds=60,
+    )
+    return out.select(
+        "url", "host",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        "age_s", "fetch_order",
+        F.date_format("sched_ts", "yyyy-MM-dd HH:mm:ss").alias("sched_ts_s"),
+    )
+
+
 def q_tpch_q1_agg(spark, sf_dir):
     """Headline relational agg (TPC-H Q1 shape) — map-side partial aggs."""
     li = _read(spark, sf_dir, "lineitem")
@@ -603,6 +638,25 @@ def q_dedup_cluster_canonical(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     pairs = embedding_neardup(emb, "vec_id", "embedding", 0.35)
     return neardup_clusters(emb, pairs, "vec_id")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document line-level dedup (the CCNet/RefinedWeb boilerplate
+    pass): documents are chunked into 3-word lines JVM-side (the
+    synthetic corpus has no newlines), then every line appearing in >= 2
+    distinct docs is dropped from ALL of them and each doc is rebuilt
+    from its survivors in order."""
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_lines
+
+    ws = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(3.0)).cast("int")),
+        lambda i: F.array_join(F.slice(ws, (i - 1) * 3 + 1, F.lit(3)), " "),
+    )
+    lined = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+    return remove_duplicate_lines(lined, min_docs=2)
 
 
 # ----------------------------------------------------------- similarity ops
@@ -838,6 +892,15 @@ def q_text_redact_pii(spark, sf_dir):
     )
 
 
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus n-gram heavy hitters: top-25 word trigrams with occurrence
+    and distinct-doc counts (boilerplate/template/contamination probe).
+    One hash aggregate + TakeOrderedAndProject, deterministic ties."""
+    from ieps_crawler_spark.operators.text import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=25)
+
+
 def q_pipeline_decontaminate(spark, sf_dir):
     """Eval-set decontamination: train docs sharing any word 5-gram with
     the held-out set (doc_id % 50 == 0) get flagged."""
@@ -1019,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_load_analytics": q_crawl_load_analytics,
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
+        "crawl_refresh_topk": q_crawl_refresh_topk,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1026,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "dedup_lines": q_dedup_lines,
         "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1039,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fp": q_text_rolling_fp,
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
+        "text_top_ngrams": q_text_top_ngrams,
         "pipeline_corpus_select": q_pipeline_corpus_select,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
@@ -1755,6 +1821,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_custkey % 5 <> 2 AND o_custkey % 23 < 5
         """,
+        # staleness filter, oldest-first rank, politeness budget,
+        # delay-spaced schedule — identical arithmetic to refresh_schedule
+        "crawl_refresh_topk": r"""
+            WITH p AS (
+              SELECT 'http://h' || (doc_id % 7) || '.gov.si/p' || doc_id
+                       || '/' AS url,
+                     'h' || (doc_id % 7) || '.gov.si' AS host,
+                     TIMESTAMP '2019-04-01 00:00:00'
+                       + to_hours(doc_id % 120) AS warc_ts,
+                     (doc_id % 7 + 2) * 1000 AS delay_ms
+              FROM documents),
+            stale AS (
+              SELECT *, CAST(epoch(TIMESTAMP '2019-04-06 00:00:00')
+                             - epoch(warc_ts) AS BIGINT) AS age_s
+              FROM p
+              WHERE epoch(TIMESTAMP '2019-04-06 00:00:00')
+                    - epoch(warc_ts) >= 172800),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY warc_ts, url)
+                          AS fetch_order
+              FROM stale)
+            SELECT url, host,
+                   strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+                   age_s, fetch_order,
+                   strftime(TIMESTAMP '2019-04-06 00:00:00'
+                     + to_milliseconds((fetch_order - 1) * delay_ms),
+                     '%Y-%m-%d %H:%M:%S') AS sched_ts_s
+            FROM ranked
+            WHERE fetch_order <= greatest(1, 60000 // delay_ms)
+        """,
         "tpch_q1_agg": r"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1851,6 +1948,42 @@ def oracle_sql() -> dict[str, str]:
                    (vec_id = min(vec_id) OVER (PARTITION BY cluster_id))
                      AS is_canonical
             FROM lab
+        """,
+        # 3-word chunking replayed, then CCNet semantics: count DISTINCT
+        # docs per normalized line, drop ALL occurrences past threshold,
+        # rebuild in chunk order ('' when everything died)
+        "dedup_lines": r"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            ix AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, CAST(ceil(len(ws)/3.0) AS BIGINT) + 1))
+                       AS i
+              FROM w),
+            ch AS (
+              SELECT doc_id, i AS chunk_idx,
+                     array_to_string(list_slice(ws, (i-1)*3+1,
+                                     least((i-1)*3+3, len(ws))), ' ') AS line
+              FROM ix),
+            over_t AS (
+              SELECT md5(trim(lower(line))) AS h FROM ch
+              WHERE length(trim(line)) > 0
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT doc_id, chunk_idx, line FROM ch
+              WHERE length(trim(line)) = 0
+                 OR md5(trim(lower(line))) NOT IN (SELECT h FROM over_t)),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY chunk_idx)
+                       AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines
+                    FROM ch GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines,
+                   CAST(t.n_lines - coalesce(a.n_kept, 0) AS INTEGER)
+                     AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "similarity_bruteforce_topk": r"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -2041,6 +2174,26 @@ def oracle_sql() -> dict[str, str]:
         # patterns imported from the operator so both engines run the
         # same regex source (Java regex and RE2 agree on this subset)
         "text_redact_pii": _redact_oracle_sql(),
+        # normalized word trigrams, global count + distinct-doc count,
+        # deterministic (occurrences DESC, ngram ASC) top-25
+        "text_top_ngrams": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            ix AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+              FROM w WHERE len(ws) >= 3),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ws, i, i + 2), ' ') AS ngram
+              FROM ix)
+            SELECT ngram, count(*) AS occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY ngram
+            ORDER BY occurrences DESC, ngram ASC LIMIT 25
+        """,
         "pipeline_decontaminate": r"""
             WITH g AS (
               SELECT doc_id,

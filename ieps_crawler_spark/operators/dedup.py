@@ -602,3 +602,92 @@ def ngram_contamination(
             (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------------- line-level dedup
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line-level dedup (the CCNet/RefinedWeb boilerplate
+    pass): drop every occurrence of a line that appears in >= min_docs
+    DISTINCT documents, rebuild each document from its surviving lines
+    in original order. The reference dedups whole pages only
+    (CrawlerDIO.scala:73-86); at corpus scale the dominant duplication
+    is repeated nav/footer/cookie-banner lines *inside* otherwise-unique
+    pages, which only a line-granular pass removes.
+
+    Returns (id_col, text_col, n_lines, n_removed) — one row per input
+    row, text_col rebuilt with ``delim`` between kept lines ('' when
+    every line was removed).
+
+    Semantics (deterministic, order-free):
+      - a "line" is a delim-separated segment; matching is on the
+        normalized form trim(lower(line));
+      - blank/whitespace-only lines are never counted and never removed
+        (they carry layout, not content — and counting them would make
+        every doc pair "share" a line);
+      - ALL occurrences of an over-threshold line are dropped (no
+        first-wins: keeping one arbitrary occurrence would make output
+        depend on scan order, which varies across cluster sizes).
+
+    Scale posture: two shuffles + one join, no self-join —
+      1. explode lines, hash-count DISTINCT docs per normalized line
+         (map-side partial agg on md5 keys: uniformly distributed, no
+         skew salting needed);
+      2. left_anti join lines against the over-threshold hash set (AQE
+         broadcasts it when small — boilerplate sets are tiny relative
+         to the corpus — else shuffled hash join on uniform keys);
+      3. groupBy doc to reassemble (collect_list bounded by document
+         size, the same bound any per-doc op already has).
+    The rebuild join back to the input preserves rows whose lines all
+    died; only (id, pos, line) triples ever shuffle, never full docs.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    lines = base.select(
+        "_id",
+        F.posexplode(F.split(F.col("_text"), F.lit(delim), -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_norm", F.trim(F.lower(F.col("_line"))))
+    content = lines.filter(F.length("_norm") > 0).withColumn(
+        "_lh", F.md5(F.col("_norm"))
+    )
+    over = (
+        content.groupBy("_lh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh")
+    )
+    kept = (
+        lines.withColumn("_lh", F.md5(F.col("_norm")))
+        .filter(F.length("_norm") > 0)
+        .join(over, "_lh", "left_anti")
+        .unionByName(lines.filter(F.length("_norm") == 0).withColumn("_lh", F.lit(None)))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col("_text"), F.lit(delim), -1))
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_kept_text", F.lit("")).alias(text_col),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce("_n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+    )

@@ -150,3 +150,63 @@ def select_budget(
     if pruned_out is not None:
         leftover = leftover.unionByName(pruned_out)
     return batch.drop("budget"), leftover
+
+
+def refresh_schedule(
+    pages: DataFrame,
+    delays: DataFrame,
+    as_of,
+    min_age_seconds: int,
+    wave_seconds: int = 60,
+) -> DataFrame:
+    """Staleness-driven re-crawl scheduling: pick, per host, the pages
+    whose last capture (``warc_ts``) is at least ``min_age_seconds`` old
+    at ``as_of``, oldest-first, within the same politeness budget a
+    discovery wave gets (wave_ms / crawl-delay(host), min 1). The
+    reference crawls each URL exactly once (UNIQUE(page.url),
+    crawldb.sql:33); a continuously-operated corpus needs the follow-up
+    policy — which URLs to RE-fetch, and when — and it must obey the
+    identical robots/politeness contract as discovery.
+
+    Returns (url, host, warc_ts, age_s, fetch_order, sched_ts): one row
+    per selected page, ``fetch_order`` the per-host rank (1 = stalest)
+    and ``sched_ts`` the politeness-spaced fetch time from ``as_of``.
+    Deterministic: ordering key (warc_ts, url) is a total order per host.
+
+    Scale posture: the staleness filter pushes down to the corpus scan
+    (warc_ts is a plain column predicate — on a warc_ts-partitioned
+    Iceberg table this prunes whole partitions, so a 10^10-page corpus
+    scans only its stale slice); one broadcast join against the tiny
+    delay dim; one window shuffle on host — the same shape, and the same
+    skew bound (budget truncates every host), as select_budget.
+    """
+    wave_ms = wave_seconds * 1000
+    as_of_col = F.lit(as_of).cast("timestamp")
+    age_s = (as_of_col.cast("double") - F.col("warc_ts").cast("double"))
+    stale = pages.filter(age_s >= F.lit(float(min_age_seconds)))
+    w = Window.partitionBy("host").orderBy("warc_ts", "url")
+    sized = (
+        stale.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
+        )
+        .withColumn(
+            "budget",
+            F.greatest(F.lit(1), F.lit(wave_ms) / F.col("delay_ms")).cast("long"),
+        )
+        .withColumn("fetch_order", F.row_number().over(w).cast("long"))
+    )
+    return (
+        sized.filter(F.col("fetch_order") <= F.col("budget"))
+        .withColumn("age_s", age_s.cast("long"))
+        .withColumn(
+            "sched_ts",
+            as_of_col
+            + F.make_interval(
+                secs=(F.col("fetch_order") - 1).cast("double")
+                * F.col("delay_ms")
+                / 1000.0
+            ),
+        )
+        .select("url", "host", "warc_ts", "age_s", "fetch_order", "sched_ts")
+    )

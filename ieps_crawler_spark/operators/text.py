@@ -166,3 +166,53 @@ def quality_gates_passed(col: str = "text") -> Column:
         (stopword_ratio(col, "sl") > 0.0) | (stopword_ratio(col, "en") > 0.0)
     ).cast("int")
     return len_ok + punct_ok + F.coalesce(stop_ok, F.lit(0))
+
+
+# ------------------------------------------------------ corpus n-gram stats
+
+def word_ngrams(col: str = "text", n: int = 2) -> Column:
+    """array<string> of word n-grams over normalized text (lowercased,
+    whitespace-split). Empty array when the doc has fewer than n words.
+    Pure codegen (split/sequence/transform/slice) — no UDF."""
+    norm = _norm_sql(col)
+    # sequence(1, 0) would count DOWN ([1,0]) — guard docs shorter than n
+    return F.expr(
+        f"CASE WHEN length({norm}) = 0 OR size(split({norm}, ' ')) < {n} "
+        f"THEN array() ELSE "
+        f"transform(sequence(1, size(split({norm}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({norm}, ' '), i, {n}), ' ')) END"
+    )
+
+
+def top_ngrams(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 2, k: int = 20
+):
+    """Corpus-level n-gram heavy hitters: the top-k most frequent word
+    n-grams with occurrence count and distinct-document count. The
+    standard corpus-health probe (boilerplate phrases, template spam,
+    contamination candidates) a webtext pipeline runs before training.
+
+    Deterministic: ties broken by ngram text ascending, so the top-k
+    set is stable across partitionings and cluster sizes.
+
+    Scale posture: explode → ONE hash aggregate with map-side partial
+    combine on uniformly-distributed string keys (no skew salting
+    needed: partial aggregation already collapses hot n-grams per task
+    before the shuffle), then TakeOrderedAndProject for the top-k —
+    never a full global sort. count_distinct(doc) adds the standard
+    two-level expand inside the same aggregate; at 100 TB swap it for
+    approx_count_distinct if exact doc counts are not required.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(word_ngrams(text_col, n)).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("_doc").alias("n_docs"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
