@@ -18,6 +18,7 @@ diverge on type formatting.
 
 from __future__ import annotations
 
+import datetime as _dt
 import tempfile
 from collections.abc import Callable
 
@@ -552,6 +553,53 @@ def q_crawl_refresh_topk(spark, sf_dir):
     )
 
 
+def q_source_warc_scan(spark, sf_dir):
+    """WARC ingestion (the archive format Common Crawl actually ships):
+    documents are serialized into 8 deterministic .warc/.warc.gz segment
+    files (driver-side FIXTURE generation — the operator under test is
+    the distributed read), then read_warc parses every response record
+    back in one binaryFile+mapInPandas pass. The oracle predicts the
+    parsed rows directly from documents — the generator's inverse."""
+    import gzip as _gzip
+    import tempfile
+
+    from ieps_crawler_spark.sources.warc import build_warc_bytes, read_warc
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in _read(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    d = tempfile.mkdtemp(prefix="ieps_warc_")
+    for shard in range(8):
+        recs = [
+            {
+                "url": f"http://w{i % 5}.gov.si/d{i}/",
+                "ts": _dt.datetime(2019, 4, 1) + _dt.timedelta(hours=i % 97),
+                "status": 404 if i % 10 == 0 else 200,
+                "content_type": "text/html",
+                "body": f"<html><body>{t}</body></html>".encode(),
+            }
+            for i, t in docs
+            if i % 8 == shard
+        ]
+        raw = build_warc_bytes(recs)
+        if shard % 2 == 1:
+            with open(f"{d}/seg{shard}.warc.gz", "wb") as f:
+                f.write(_gzip.compress(raw))
+        else:
+            with open(f"{d}/seg{shard}.warc", "wb") as f:
+                f.write(raw)
+    out = read_warc(spark, f"file://{d}/*")
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        "http_status",
+        "content_type",
+        F.md5("html").alias("body_md5"),
+        F.length("html").alias("n_bytes"),
+    )
+
+
 def q_tpch_q1_agg(spark, sf_dir):
     """Headline relational agg (TPC-H Q1 shape) — map-side partial aggs."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1083,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_refresh_topk": q_crawl_refresh_topk,
+        "source_warc_scan": q_source_warc_scan,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1851,6 +1900,23 @@ def oracle_sql() -> dict[str, str]:
                      '%Y-%m-%d %H:%M:%S') AS sched_ts_s
             FROM ranked
             WHERE fetch_order <= greatest(1, 60000 // delay_ms)
+        """,
+        # the WARC generator's inverse: predict every parsed response
+        # record (url/ts/status/body hash) straight from documents
+        "source_warc_scan": r"""
+            SELECT 'http://w' || (doc_id % 5) || '.gov.si/d' || doc_id
+                     || '/' AS url,
+                   strftime(TIMESTAMP '2019-04-01 00:00:00'
+                     + to_hours(doc_id % 97), '%Y-%m-%d %H:%M:%S')
+                     AS warc_ts_s,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END
+                     AS INTEGER) AS http_status,
+                   'text/html' AS content_type,
+                   md5('<html><body>' || text || '</body></html>')
+                     AS body_md5,
+                   CAST(octet_length(encode('<html><body>' || text
+                     || '</body></html>')) AS INTEGER) AS n_bytes
+            FROM documents
         """,
         "tpch_q1_agg": r"""
             SELECT l_returnflag, l_linestatus,
