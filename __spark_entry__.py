@@ -553,6 +553,37 @@ def q_crawl_refresh_topk(spark, sf_dir):
     )
 
 
+def q_crawl_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation: HTML constructed per document carries two
+    anchors (one to a target shared by ~1/50 of docs with text varying by
+    doc, one 'next' link), extract_anchors_udf captures (target, text)
+    pairs in the same single parse as link extraction, and
+    anchor_text_stats rolls them up per target (count, distinct, most
+    frequent with deterministic ties, sorted sample). The oracle rebuilds
+    the pairs by construction and replays the identical aggregate."""
+    from ieps_crawler_spark.functions.extract import extract_anchors_udf
+    from ieps_crawler_spark.operators.graph import anchor_text_stats
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    t1 = (d % 50).cast("string")
+    t2 = ((d + 1) % 50).cast("string")
+    label = F.when(d % 3 == 0, F.lit("click here")).otherwise(
+        F.concat(F.lit("page "), t1)
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://evem.gov.si/t'), t1, F.lit('">'),
+        label, F.lit("</a>"),
+        F.lit('<a href="http://evem.gov.si/t'), t2, F.lit('"> next '), ds,
+        F.lit("</a></body></html>"),
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    pairs = docs.select(
+        F.explode(extract_anchors_udf(F.col("html"), F.lit("evem.gov.si"))).alias("a")
+    ).select(F.col("a.url").alias("url"), F.col("a.anchor").alias("anchor"))
+    return anchor_text_stats(pairs, k=3)
+
+
 def q_source_warc_scan(spark, sf_dir):
     """WARC ingestion (the archive format Common Crawl actually ships):
     documents are serialized into 8 deterministic .warc/.warc.gz segment
@@ -1131,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_refresh_topk": q_crawl_refresh_topk,
+        "crawl_anchor_stats": q_crawl_anchor_stats,
         "source_warc_scan": q_source_warc_scan,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
@@ -1900,6 +1932,34 @@ def oracle_sql() -> dict[str, str]:
                      '%Y-%m-%d %H:%M:%S') AS sched_ts_s
             FROM ranked
             WHERE fetch_order <= greatest(1, 60000 // delay_ms)
+        """,
+        # anchor pairs rebuilt by construction (trailing-slash canon,
+        # whitespace-collapsed text), then the identical two-level
+        # aggregate: (url, anchor) counts -> per-url rollup; top anchor =
+        # max (cnt, anchor), sample = sorted distinct anchors capped at 3
+        "crawl_anchor_stats": r"""
+            WITH pairs AS (
+              SELECT 'http://evem.gov.si/t' || (doc_id % 50) || '/' AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                          ELSE 'page ' || (doc_id % 50) END AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'http://evem.gov.si/t' || ((doc_id + 1) % 50) || '/',
+                     'next ' || doc_id
+              FROM documents),
+            per AS (
+              SELECT url, anchor, count(*) AS cnt
+              FROM pairs GROUP BY url, anchor),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                          ORDER BY cnt DESC, anchor DESC) AS rn
+              FROM per)
+            SELECT url, sum(cnt) AS n_refs,
+                   count(*) AS n_unique_anchors,
+                   max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+                   array_to_string(list_slice(list(anchor ORDER BY anchor),
+                                              1, 3), '|') AS anchors_sample
+            FROM ranked GROUP BY url
         """,
         # the WARC generator's inverse: predict every parsed response
         # record (url/ts/status/body hash) straight from documents

@@ -73,6 +73,10 @@ class _Harvest(HTMLParser):
         self.onclicks: list[str] = []
         self.imgs: list[str] = []
         self.text_parts: list[str] = []
+        # (href, text) pairs in document-open order — additive capture for
+        # the anchor-text operator; does not affect the byte-parity paths
+        self.anchors: list[tuple[str, str]] = []
+        self._open_anchors: list[tuple[str, list[str]]] = []
         self._skip_depth = 0
 
     def handle_starttag(self, tag, attrs):
@@ -81,6 +85,7 @@ class _Harvest(HTMLParser):
         d = dict(attrs)
         if tag == "a" and d.get("href") is not None:
             self.hrefs.append(d["href"])
+            self._open_anchors.append((d["href"], []))
         if d.get("onclick"):
             self.onclicks.append(d["onclick"])
         if tag == "img" and d.get("src") is not None:
@@ -89,14 +94,27 @@ class _Harvest(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if tag not in _VOID_SKIP:
             self.handle_starttag(tag, attrs)
+            if tag == "a":  # self-closing <a/>: empty anchor, close now
+                self.handle_endtag("a")
 
     def handle_endtag(self, tag):
         if tag in _VOID_SKIP and self._skip_depth > 0:
             self._skip_depth -= 1
+        if tag == "a" and self._open_anchors:
+            href, parts = self._open_anchors.pop()
+            self.anchors.append((href, _WS.sub(" ", "".join(parts)).strip()))
 
     def handle_data(self, data):
         if self._skip_depth == 0 and data:
             self.text_parts.append(data)
+            for _, parts in self._open_anchors:
+                parts.append(data)
+
+    def finish_anchors(self):
+        """Flush anchors left open at EOF (malformed HTML)."""
+        while self._open_anchors:
+            href, parts = self._open_anchors.pop()
+            self.anchors.append((href, _WS.sub(" ", "".join(parts)).strip()))
 
 
 _WS = re.compile(r"\s+")
@@ -108,6 +126,7 @@ def _parse(html: bytes | str) -> _Harvest:
     p = _Harvest()
     p.feed(html)
     p.close()
+    p.finish_anchors()
     return p
 
 
@@ -261,3 +280,50 @@ def _con_type_series(url: pd.Series) -> pd.Series:
 
 
 con_type_udf = pandas_udf(_con_type_series, StringType())
+
+
+# -------------------------------------------------------------- anchor text
+
+ANCHORS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+
+def extract_anchors(html: bytes | str | None, site_domain: str):
+    """(canonical target url, anchor text) for every <a href> in the
+    page, in close order — ALL occurrences kept (the aggregate needs
+    counts), whitespace-collapsed anchor text, canonicalization with the
+    same root-relative fallback as extractLink. Targets that fail
+    canonicalization are dropped. Round-2 addition: the reference throws
+    anchor text away (ExtractFromHTML.scala:52-65 reads attr only); at
+    corpus scale anchor text is the classic off-page relevance/quality
+    signal, so the single-pass parser captures it for free."""
+    if html is None:
+        return []
+    try:
+        p = _parse(html)
+    except Exception:
+        return []
+    out = []
+    for raw, text in p.anchors:
+        try:
+            link = _extract_link(raw, site_domain)
+        except Exception:
+            link = None
+        if link is not None:
+            out.append({"url": link, "anchor": text})
+    return out
+
+
+def _anchor_series(html: pd.Series, domain: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors(h, d if d is not None else "") for h, d in zip(html, domain)]
+    )
+
+
+extract_anchors_udf = pandas_udf(_anchor_series, ANCHORS_SCHEMA)

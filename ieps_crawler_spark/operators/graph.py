@@ -164,3 +164,49 @@ def connected_components(
     finally:
         sym.unpersist()
     return labels
+
+
+def anchor_text_stats(
+    pairs: DataFrame,
+    url_col: str = "url",
+    anchor_col: str = "anchor",
+    k: int = 5,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic off-page signal
+    a web corpus derives from its link graph (what OTHER pages call this
+    URL). Input: (url, anchor) pairs from
+    ``functions.extract.extract_anchors_udf``; the reference discards
+    anchor text at parse time (ExtractFromHTML.scala:52-65).
+
+    Returns per url: n_refs (total in-links with anchors),
+    n_unique_anchors, top_anchor (most frequent; ties resolved to the
+    lexicographically greatest so the result is partition-order-free),
+    anchors_sample (first k distinct anchors, sorted, '|'-joined).
+
+    Scale posture: two hash aggregates with map-side partial combine —
+    (url, anchor) then (url) — no window, no join. The first aggregate
+    collapses identical anchors, so a URL with 10^6 same-anchor in-links
+    costs one counter; the sample's collect_list is bounded by the
+    url's DISTINCT-anchor count (for a hub where even that explodes,
+    pre-filter ``per`` with a per-url rank <= m before aggregating).
+    """
+    per = pairs.groupBy(url_col, anchor_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy(url_col)
+        .agg(
+            F.sum("cnt").alias("n_refs"),
+            F.count(F.lit(1)).alias("n_unique_anchors"),
+            F.max(F.struct(F.col("cnt"), F.col(anchor_col).alias("anchor")))
+            .alias("_top"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(anchor_col)), 1, k), "|"
+            ).alias("anchors_sample"),
+        )
+        .select(
+            url_col,
+            "n_refs",
+            "n_unique_anchors",
+            F.col("_top.anchor").alias("top_anchor"),
+            "anchors_sample",
+        )
+    )
