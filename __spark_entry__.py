@@ -980,6 +980,22 @@ def q_text_top_ngrams(spark, sf_dir):
     return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=25)
 
 
+def q_text_unigram_stats(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet perplexity-proxy): fit the
+    frequency table on even doc_ids, score every doc against it. The
+    hash gate takes the exact integer columns (token count, summed
+    corpus frequency, OOV count); the float nll itself is pytest-checked
+    against a Python oracle (last-ulp aggregation order is not a thing
+    to hash)."""
+    from ieps_crawler_spark.operators.text import fit_unigram_freq, unigram_nll
+
+    docs = _read(spark, sf_dir, "documents")
+    freq = fit_unigram_freq(docs.filter(F.col("doc_id") % 2 == 0))
+    return unigram_nll(docs, freq).select(
+        "doc_id", "n_tokens", "sum_freq", "n_oov"
+    )
+
+
 def q_pipeline_decontaminate(spark, sf_dir):
     """Eval-set decontamination: train docs sharing any word 5-gram with
     the held-out set (doc_id % 50 == 0) get flagged."""
@@ -1186,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_top_ngrams": q_text_top_ngrams,
+        "text_unigram_stats": q_text_unigram_stats,
         "pipeline_corpus_select": q_pipeline_corpus_select,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
@@ -2319,6 +2336,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM g GROUP BY ngram
             ORDER BY occurrences DESC, ngram ASC LIMIT 25
+        """,
+        # unigram fit on even docs, add-one-score everything: exact
+        # integer twins (token/sum-freq/OOV counts) of the float nll
+        "text_unigram_stats": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            w AS (SELECT * FROM words WHERE length(word) > 0),
+            freq AS (
+              SELECT word, count(*) AS cnt FROM w
+              WHERE doc_id % 2 = 0 GROUP BY word),
+            scored AS (
+              SELECT w.doc_id, coalesce(f.cnt, 0) AS cnt
+              FROM w LEFT JOIN freq f USING (word)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(cnt) AS sum_freq,
+                     sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_oov
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.sum_freq, 0) AS sum_freq,
+                   coalesce(a.n_oov, 0) AS n_oov
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "pipeline_decontaminate": r"""
             WITH g AS (

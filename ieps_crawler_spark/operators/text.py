@@ -216,3 +216,86 @@ def top_ngrams(
         .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+# ----------------------------------------------------- unigram LM scoring
+
+def fit_unigram_freq(df, text_col: str = "text"):
+    """Corpus unigram table (word, cnt) over normalized tokens — the fit
+    half of the CCNet-style LM quality scorer. One explode + one hash
+    aggregate with map-side combine; a 100 TB corpus yields a ~10^7-row
+    table, comfortably broadcast for the scoring join."""
+    words = df.select(
+        F.explode(F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                                           r"\s+", " "), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def unigram_nll(
+    df,
+    freq,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_freq: bool = True,
+):
+    """Per-document unigram negative log-likelihood (the cheap stand-in
+    for the KenLM perplexity CCNet buckets a web corpus by): add-one
+    smoothed, nll = mean over tokens of -ln((cnt(w)+1) / (N+V)). Lower =
+    more corpus-typical text; OOV tokens (scoring corpus B against a
+    table fit on corpus A) take cnt 0.
+
+    Returns (id_col, n_tokens, sum_freq, n_oov, nll): the integer
+    columns are exact (partition-order-free) and are what the DuckDB
+    gate hashes; nll is a float aggregate — the sum runs over the
+    distinct-cnt multiset (few terms, each ln value weighted by an exact
+    integer multiplicity) so it is far more stable than a per-token sum,
+    but its last ulp can still depend on aggregation order, so it is
+    rounded to 6 and kept OUT of the hash gate (pytest-verified against
+    a Python oracle instead).
+
+    Scale posture: fit side two scalars (N, V) come from one tiny
+    aggregate; scoring is explode → broadcast (or shuffle) join on word
+    → one hash aggregate per doc. No window, no self-join; the frequency
+    table is the only state and it is corpus-vocabulary-sized.
+    """
+    totals = freq.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = int(totals["n"]), int(totals["v"])
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                                     r"\s+", " "), " ")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    f = F.broadcast(freq) if broadcast_freq else freq
+    joined = words.join(f, "word", "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    )
+    # group tokens by their cnt first: the float sum then runs over the
+    # (few) distinct cnt values weighted by exact integer multiplicities,
+    # so partition order cannot reorder it
+    by_cnt = joined.groupBy("_id", "cnt").agg(F.count(F.lit(1)).alias("m"))
+    per_doc = by_cnt.groupBy("_id").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("m")).cast("long").alias("sum_freq"),
+        F.sum(F.when(F.col("cnt") == 0, F.col("m")).otherwise(0))
+        .cast("long").alias("n_oov"),
+        F.sum(
+            -F.log((F.col("cnt") + 1).cast("double")
+                   / F.lit(float(n_total + vocab))) * F.col("m")
+        ).alias("_nll_sum"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("sum_freq", F.lit(0).cast("long")).alias("sum_freq"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            F.round(F.col("_nll_sum") / F.col("n_tokens"), 6).alias("nll"),
+        )
+    )

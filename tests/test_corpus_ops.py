@@ -195,3 +195,45 @@ def test_refresh_tie_break_on_url(spark):
         min_age_seconds=0, wave_seconds=60,
     ).orderBy("fetch_order").collect()
     assert [r["url"] for r in out] == ["http://b.si/a/", "http://b.si/b/"]
+
+
+# -------------------------------------------------------- unigram LM score
+
+def test_unigram_nll_matches_python_oracle(spark):
+    import math
+
+    from ieps_crawler_spark.operators.text import fit_unigram_freq, unigram_nll
+
+    fit_rows = [(1, "a a b"), (2, "a c")]
+    score_rows = [(10, "a b"), (11, "z z"), (12, "")]
+    fit = spark.createDataFrame(fit_rows, "doc_id int, text string")
+    sc = spark.createDataFrame(score_rows, "doc_id int, text string")
+    freq = fit_unigram_freq(fit)
+    out = {r["doc_id"]: r for r in unigram_nll(sc, freq).collect()}
+    # corpus: a=3, b=1, c=1 -> N=5, V=3, denom=8
+    def nll(cnts):
+        return round(sum(-math.log((c + 1) / 8.0) for c in cnts) / len(cnts), 6)
+
+    assert (out[10]["n_tokens"], out[10]["sum_freq"], out[10]["n_oov"]) == (2, 4, 0)
+    assert out[10]["nll"] == nll([3, 1])
+    # OOV tokens take cnt 0
+    assert (out[11]["n_tokens"], out[11]["sum_freq"], out[11]["n_oov"]) == (2, 0, 2)
+    assert out[11]["nll"] == nll([0, 0])
+    # empty doc: zero tokens, null nll
+    assert (out[12]["n_tokens"], out[12]["nll"]) == (0, None)
+
+
+def test_unigram_nll_partition_independent_integers(spark, sf_dir):
+    from ieps_crawler_spark.operators.text import fit_unigram_freq, unigram_nll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freq = fit_unigram_freq(docs.filter("doc_id % 2 = 0"))
+    a = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_freq"], r["n_oov"])
+        for r in unigram_nll(docs, freq).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_freq"], r["n_oov"])
+        for r in unigram_nll(docs.repartition(13), freq, broadcast_freq=False).collect()
+    )
+    assert a == b and len(a) == docs.count()
