@@ -145,3 +145,40 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
 
     p = plan(e.queries()["pipeline_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_round2_additions_pure_jvm_plans(spark, sf_dir):
+    """dedup_lines / top_ngrams / refresh / unigram-stats claim pure-JVM
+    plans (no Python stage) — make the claim executable; anchor/warc
+    queries are pandas-UDF-by-design and excluded."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in [
+        "dedup_lines",
+        "text_top_ngrams",
+        "text_unigram_stats",
+        "crawl_refresh_topk",
+    ]:
+        p = plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
+        assert "CartesianProduct" not in p, f"{name} plan goes cartesian:\n{p}"
+
+
+def test_top_ngrams_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """The heavy-hitter top-k must be a TakeOrdered merge, never a full
+    global sort of the n-gram aggregate."""
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["text_top_ngrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_unigram_scoring_broadcasts_freq_table(spark, sf_dir):
+    """The scoring join must broadcast the vocabulary-sized frequency
+    table — shuffling the exploded token stream by word would move the
+    whole corpus through one shuffle."""
+    import __spark_entry__ as e
+
+    p = plan(e.queries()["text_unigram_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
