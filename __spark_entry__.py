@@ -1155,6 +1155,62 @@ def q_crawl_e2e(spark, sf_dir):
     return _crawl_results(spark, sf_dir, max_waves=3)
 
 
+# ------------------------------------------------------------ corpus stats
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact cross-doc substring duplication (Lee et al. pass, word-8-gram
+    form): per doc the duplicated-position count and the longest exactly
+    repeated word span. Integer-only output."""
+    from ieps_crawler_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=8
+    )
+
+
+def q_sketch_hll_users(spark, sf_dir):
+    """From-scratch md5-HLL (m=256 — sized so every SF sits in the raw
+    HLL regime n > 2.5m; 48-bit ranks): per-event-type distinct
+    user-context (user_id + props) estimate next to the exact count.
+    Every hashed column is exact-integer (harmonic numerator is
+    bit-shift-scaled, estimate is a floor of one literal/exact
+    division), so a SQL replay of the same register algebra
+    hash-matches — unlike approx_count_distinct, whose HLL++ register
+    state is engine-private."""
+    from ieps_crawler_spark.operators.stats import hll_estimate, hll_registers
+
+    ev = _read(spark, sf_dir, "events")
+    key = F.concat(F.col("user_id").cast("string"), F.lit("-"), F.col("props"))
+    regs = hll_registers(ev, ["event_type"], key, bucket_hex=2)
+    est = hll_estimate(regs, ["event_type"], bucket_hex=2)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(key).alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "harm_num", "n_zero_buckets", "hll_est", "exact_users"
+    )
+
+
+def q_stats_length_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles (percentile_disc
+    semantics) via the histogram + cumulative-window method — the
+    distribution probe that sizes sequence-packing budgets."""
+    from ieps_crawler_spark.operators.stats import disc_quantiles
+    from ieps_crawler_spark.operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    q = disc_quantiles(docs, ["lang"], "n_tokens", ps=(0.5, 0.9, 0.99))
+    return q.select(
+        "lang",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p90").cast("long").alias("p90"),
+        F.col("p99").cast("long").alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_canonicalize": q_crawl_canonicalize,
@@ -1188,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
         "dedup_lines": q_dedup_lines,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1207,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
         "pipeline_source_stats": q_pipeline_source_stats,
+        "sketch_hll_users": q_sketch_hll_users,
+        "stats_length_quantiles": q_stats_length_quantiles,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
         "graph_pagerank": q_graph_pagerank,
@@ -1223,6 +1282,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SL_PAT = r"\b(in|je|na|za|se|da|so|ki|pri|tudi)\b"
 _EN_PAT = r"\b(the|and|of|to|in|is|that|for|with|as)\b"
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB twin of operators.stats md5-HLL (bucket_hex=2, rank_hex=12):
+    replays bucket substring, hex→bit expansion (translate + 16
+    replaces), first-1-bit rank, per-bucket max register, and the
+    bit-shift-scaled harmonic numerator — all exact integers; the
+    estimate is floor(double-literal / exact-int), IEEE-identical in
+    both engines."""
+    m, bucket_hex, rank_hex = 256, 2, 12
+    w = rank_hex * 4
+    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha_num = alpha * m * m * float(1 << (w + 1))
+    bits = (
+        f"translate(substr(h, {bucket_hex + 1}, {rank_hex}), "
+        f"'0123456789abcdef', 'ABCDEFGHIJKLMNOP')"
+    )
+    for i, p in enumerate("ABCDEFGHIJKLMNOP"):
+        bits = f"replace({bits}, '{p}', '{format(i, '04b')}')"
+    return f"""
+        WITH k AS (
+          SELECT event_type,
+                 md5(user_id::VARCHAR || '-' || props) AS h FROM events),
+        r AS (
+          SELECT event_type, substr(h, 1, {bucket_hex}) AS bucket,
+                 CASE WHEN strpos({bits}, '1') = 0 THEN {w + 1}
+                      ELSE strpos({bits}, '1') END AS rank
+          FROM k),
+        reg AS (
+          SELECT event_type, bucket, max(rank) AS register
+          FROM r GROUP BY event_type, bucket),
+        agg AS (
+          SELECT event_type, count(*) AS n_obs,
+                 sum(1::BIGINT << ({w + 1} - register))::BIGINT AS s_obs
+          FROM reg GROUP BY event_type),
+        est AS (
+          SELECT event_type,
+                 (s_obs + ({m} - n_obs) * (1::BIGINT << {w + 1}))::BIGINT
+                   AS harm_num,
+                 ({m} - n_obs)::BIGINT AS n_zero_buckets
+          FROM agg),
+        ex AS (
+          SELECT event_type,
+                 count(DISTINCT user_id::VARCHAR || '-' || props)::BIGINT
+                   AS exact_users
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, e.harm_num, e.n_zero_buckets,
+               floor({alpha_num!r} / e.harm_num)::BIGINT AS hll_est,
+               x.exact_users
+        FROM est e JOIN ex x USING (event_type)
+    """
 
 
 def _simhash_oracle_sql() -> str:
@@ -2128,6 +2238,55 @@ def oracle_sql() -> dict[str, str]:
                      AS n_removed
             FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
+        # exact substring duplication: word-8-grams at every offset, a
+        # gram is duplicated when >=2 DISTINCT docs contain it; longest
+        # span via gaps-and-islands over the duplicated positions
+        "dedup_substring_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            ix AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+              FROM w WHERE len(ws) >= 8),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                       AS gh
+              FROM ix),
+            over_t AS (
+              SELECT gh FROM g
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+            f AS (
+              SELECT g.doc_id, g.pos,
+                     (o.gh IS NOT NULL) AS shared
+              FROM g LEFT JOIN over_t o USING (gh)),
+            tot AS (
+              SELECT doc_id, count(*)::BIGINT AS n_grams,
+                     sum(CASE WHEN shared THEN 1 ELSE 0 END)::BIGINT
+                       AS shared_grams
+              FROM f GROUP BY doc_id),
+            isl AS (
+              SELECT doc_id,
+                     pos - row_number()
+                             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM f WHERE shared),
+            runs AS (
+              SELECT doc_id, grp, count(*) AS run
+              FROM isl GROUP BY doc_id, grp),
+            lng AS (SELECT doc_id, max(run) AS longest
+                    FROM runs GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(t.shared_grams, 0)::BIGINT AS shared_grams,
+                   (CASE WHEN l.longest IS NULL THEN 0
+                         ELSE l.longest + 7 END)::BIGINT
+                     AS longest_span_words
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN lng l USING (doc_id)
+        """,
         "similarity_bruteforce_topk": r"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id % 100 = 0),
@@ -2399,6 +2558,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(gates) AS sum_gates,
                    round(sum(gates) / (3.0 * count(*)), 4) AS avg_quality
             FROM t GROUP BY source
+        """,
+        "sketch_hll_users": _hll_oracle_sql(),
+        # exact percentile_disc via histogram + cumulative window — the
+        # same method the Spark side runs, so values AND tie behavior
+        # match by construction
+        "stats_length_quantiles": r"""
+            WITH t AS (
+              SELECT lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                      END)::BIGINT AS v
+              FROM documents),
+            h AS (SELECT lang, v, count(*) AS c FROM t GROUP BY lang, v),
+            cum AS (
+              SELECT lang, v,
+                     sum(c) OVER (PARTITION BY lang ORDER BY v) AS cm,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM h)
+            SELECT lang, max(n)::BIGINT AS n_rows,
+                   min(CASE WHEN cm >= ceil(0.5 * n) THEN v END)::BIGINT
+                     AS p50,
+                   min(CASE WHEN cm >= ceil(0.9 * n) THEN v END)::BIGINT
+                     AS p90,
+                   min(CASE WHEN cm >= ceil(0.99 * n) THEN v END)::BIGINT
+                     AS p99
+            FROM cum GROUP BY lang
         """,
         "sample_hash_split": _hash_split_oracle_sql(),
         "sample_deterministic": f"""

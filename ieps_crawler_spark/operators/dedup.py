@@ -691,3 +691,93 @@ def remove_duplicate_lines(
             (n_lines - F.coalesce("_n_kept", F.lit(0))).cast("int").alias("n_removed"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring statistics — the exact-
+    substring member of the dedup ladder (the pass Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" runs
+    with a suffix array on one machine, re-expressed as a distributed
+    word-n-gram join; the reference dedups whole pages only,
+    CrawlerDIO.scala:73-86).
+
+    A word position is "duplicated" when the n-gram starting there
+    also appears in >= min_docs - 1 OTHER documents. Because every word
+    offset gets a gram (stride 1 in words), any cross-doc repeated run
+    of >= n words is detected regardless of alignment — no suffix
+    structure needed. Per document this returns:
+
+      n_grams            total gram positions (0 for docs under n words)
+      shared_grams       positions whose gram is cross-doc duplicated
+      longest_span_words longest run of consecutive duplicated
+                         positions + n - 1 (= the longest exactly-
+                         repeated word span; 0 when none)
+
+    A curation pipeline cuts on shared_grams / n_grams (dup ratio) or
+    clips docs whose longest_span_words exceeds the Lee-et-al 50-token
+    threshold. All-integer output: hash-stable across engines.
+
+    Scale posture: explode word n-grams (one row per word, O(total
+    tokens)) -> hash md5(gram) so only 32-byte keys shuffle, never the
+    gram text; ONE hash aggregate for distinct-doc counts (map-side
+    combine collapses boilerplate grams per task before the shuffle);
+    the over-threshold gram set is small relative to the corpus, so
+    the flag join is AQE-broadcastable (else a shuffled join on
+    uniformly-distributed hash keys — no salting needed); the run
+    detection is one window per doc over that doc's SHARED positions
+    only (gaps-and-islands: pos - row_number), so the window shuffle
+    carries duplicated positions, not the whole corpus.
+    """
+    from .text import word_ngrams
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    grams = base.select(
+        "_id", F.posexplode(word_ngrams("_t", n)).alias("_pos", "_g")
+    ).select("_id", "_pos", F.md5("_g").alias("_gh"))
+    over = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    flagged = grams.join(over.withColumn("_shared", F.lit(True)), "_gh", "left")
+    totals = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_shared"), F.lit(False)).cast("int")).alias(
+            "shared_grams"
+        ),
+    )
+    isl = (
+        flagged.filter(F.col("_shared"))
+        .withColumn(
+            "_grp",
+            F.col("_pos")
+            - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
+        )
+        .groupBy("_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy("_id")
+        .agg(F.max("_run").alias("_longest"))
+    )
+    return (
+        base.select("_id")
+        .join(totals, "_id", "left")
+        .join(isl, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("shared_grams", F.lit(0))
+            .cast("long")
+            .alias("shared_grams"),
+            F.when(F.col("_longest").isNull(), F.lit(0))
+            .otherwise(F.col("_longest") + F.lit(n - 1))
+            .cast("long")
+            .alias("longest_span_words"),
+        )
+    )

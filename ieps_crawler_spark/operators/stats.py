@@ -1,0 +1,208 @@
+"""Corpus-statistics operators — cardinality sketches and exact
+distribution quantiles.
+
+Why a crawler/training-data engine needs these: at 10^10-URL frontier
+scale the scheduler constantly asks "how many DISTINCT urls does this
+host still hold?" and "what does the document-length distribution look
+like per language?". Exact count_distinct is a two-level expand that
+shuffles every key; a HyperLogLog register table is a few KB per group,
+OR-mergeable across waves, and answers the first question at any scale.
+The length distribution drives sequence-packing budgets and quality
+cutoffs (reference report §4 computes exactly these offline stats in R,
+ref: r/loadTime.R, report/report.tex:161-176).
+
+Determinism contract (what lets the DuckDB oracle hash-match): the
+sketch here is NOT Spark's approx_count_distinct (whose HLL++ register
+layout is engine-private). It is a from-scratch HLL built on md5 —
+bucket = first `bucket_hex` hex chars of md5(key), rank = position of
+the first 1-bit in the next `rank_hex` hex chars — so ANY ANSI engine
+replays it byte-for-byte with substr/translate/replace/strpos. All
+aggregation state is integer (max-register, bit-shifted harmonic
+numerator); the only float op is one final literal-constant division
+per group, which is order-independent and IEEE-identical everywhere.
+
+Scale posture: registers are ONE hash aggregate with map-side partial
+combine (max is commutative); the register table is tiny (m rows per
+group), merges across waves/sources by groupBy-max (HLL union = OR =
+max per bucket), and the estimate step aggregates m rows per group.
+Quantiles compress to a (group, value) histogram FIRST — one hash
+aggregate — so the window sort that follows orders distinct values,
+not rows: a 10^12-row corpus with ~10^4 distinct token lengths sorts
+10^4 rows per group, and a skewed group costs its distinct-value
+count, never its row count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hex_bits",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "disc_quantiles",
+]
+
+# 4-bit patterns per hex digit, applied via translate-to-placeholder +
+# 16 replaces (both Spark and DuckDB lack a one-to-many translate).
+_HEX = "0123456789abcdef"
+_PLACE = "ABCDEFGHIJKLMNOP"
+_BITS = {p: format(i, "04b") for i, p in enumerate(_PLACE)}
+
+
+def hex_bits(col: Column) -> Column:
+    """Lowercase-hex string → bit string ('a3' → '10100011'). Pure
+    codegen string ops, replayable verbatim in any ANSI engine."""
+    out = F.translate(col, _HEX, _PLACE)
+    for p, bits in _BITS.items():
+        out = F.replace(out, F.lit(p), F.lit(bits))
+    return out
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str | Column,
+    bucket_hex: int = 3,
+    rank_hex: int = 12,
+) -> DataFrame:
+    """Per-group HLL register table: (group…, bucket, register).
+
+    bucket = first `bucket_hex` hex chars of md5(key) → m = 16^bucket_hex
+    buckets; register = max over keys of the 1-based position of the
+    first 1-bit in the next `rank_hex` hex chars (rank_hex*4 + 1 when
+    that slice is all zeros — probability 2^-48 at the default width).
+    Only non-empty buckets are materialized; `hll_estimate` accounts
+    for the missing ones.
+    """
+    w = rank_hex * 4
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(key.cast("string"))
+    bits = hex_bits(F.substring(h, bucket_hex + 1, rank_hex))
+    first_one = F.instr(bits, "1")
+    rank = F.when(first_one == 0, F.lit(w + 1)).otherwise(first_one)
+    return (
+        df.select(
+            *group_cols,
+            F.substring(h, 1, bucket_hex).alias("bucket"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").cast("int").alias("register"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union of sketches = per-bucket max. Register tables from
+    different waves/sources/partitions merge losslessly — the property
+    that makes the sketch incrementally maintainable in the crawl loop
+    (append registers per wave, fold with this before estimating)."""
+    return regs.groupBy(*group_cols, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    bucket_hex: int = 3,
+    rank_hex: int = 12,
+) -> DataFrame:
+    """Collapse a register table to one row per group:
+
+    - ``harm_num``: exact-integer harmonic numerator
+      sum(2^(W+1-register)) + (m - observed)·2^(W+1) where W =
+      rank_hex·4 — i.e. sum(2^-register) scaled by 2^(W+1) so every
+      term is a bigint (register ∈ [1, W+1]); order-independent, so
+      hash-stable.
+    - ``n_zero_buckets``: buckets never hit (linear-counting signal;
+      the small-range corrected estimate ``m·ln(m/zeros)`` is left to
+      callers — ln() last-ulp behavior is libm-specific, so it stays
+      out of the hashed contract).
+    - ``hll_est``: floor(alpha·m²·2^(W+1) / harm_num) — the raw HLL
+      estimate. One literal/exact-int double division per group.
+    """
+    m = 16**bucket_hex
+    w = rank_hex * 4
+    alpha_num = _alpha(m) * m * m * float(1 << (w + 1))
+    # shiftleft's python wrapper wants a literal bit count — go through
+    # SQL for the per-row exponent (register ∈ [1, W+1] ⇒ shift ∈ [0, W])
+    shifted = F.expr(f"shiftleft(cast(1 as bigint), {w + 1} - register)")
+    out = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_obs"),
+        F.sum(shifted).alias("_s_obs"),
+    )
+    harm = F.col("_s_obs") + (F.lit(m) - F.col("_n_obs")) * F.lit(
+        1 << (w + 1)
+    ).cast("long")
+    return out.select(
+        *group_cols,
+        harm.alias("harm_num"),
+        (F.lit(m) - F.col("_n_obs")).cast("long").alias("n_zero_buckets"),
+        F.floor(F.lit(alpha_num) / harm.cast("double")).alias("hll_est"),
+    )
+
+
+def hll_corrected(harm_num: int, n_zero: int, bucket_hex: int = 3,
+                  rank_hex: int = 12) -> float:
+    """Driver-side small-range correction (LogLog §4 / HLL fig 3):
+    linear counting when the raw estimate ≤ 2.5m and zero buckets
+    remain. Python-side on the tiny estimate rows — floats never enter
+    the distributed/hashed path."""
+    m = 16**bucket_hex
+    w = rank_hex * 4
+    raw = _alpha(m) * m * m * float(1 << (w + 1)) / harm_num
+    if raw <= 2.5 * m and n_zero > 0:
+        return m * math.log(m / n_zero)
+    return raw
+
+
+def disc_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact discrete quantiles per group: for each p, the smallest
+    value whose cumulative count ≥ ceil(p·n) — percentile_disc
+    semantics, computed via a histogram so it is deterministic under
+    ties and cheap under duplicates.
+
+    Plan: (1) hash-aggregate to a (group, value, cnt) histogram —
+    map-side combine collapses duplicate values before any shuffle;
+    (2) ONE window pass over the histogram (cumulative count ordered
+    by value) — sorts distinct values per group, not rows; (3) a final
+    hash aggregate takes min(value | cum ≥ threshold) per p. The p·n
+    product is a plain IEEE double of two exact operands, so both
+    engines land the same threshold — no percentile-function
+    implementation details leak into the result.
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum("_cnt").over(wcum).alias("_cum"),
+        F.sum("_cnt").over(wg).alias("_n"),
+    )
+    aggs = []
+    for p in ps:
+        thr = F.ceil(F.lit(p) * F.col("_n"))
+        name = f"p{str(p)[2:].ljust(2, '0')}"
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= thr, F.col(value_col))).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(F.max("_n").alias("n_rows"), *aggs)
