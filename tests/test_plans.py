@@ -182,3 +182,54 @@ def test_unigram_scoring_broadcasts_freq_table(spark, sf_dir):
 
     p = plan(e.queries()["text_unigram_stats"](spark, sf_dir))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_stats_family_pure_jvm_plans(spark, sf_dir):
+    """The sketch/quantile/substring-span queries are built-ins only:
+    no Python stage, no cartesian, anywhere in the plan."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in [
+        "sketch_hll_users",
+        "stats_length_quantiles",
+        "dedup_substring_spans",
+    ]:
+        p = plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
+        assert "CartesianProduct" not in p, f"{name} plan goes cartesian:\n{p}"
+
+
+def test_hll_registers_partial_max(spark, sf_dir):
+    """The register build must map-side combine (partial max below the
+    exchange) — that's what makes the sketch one cheap shuffle of
+    (group, bucket) keys instead of a shuffle of every raw key."""
+    from pyspark.sql import functions as F
+
+    from ieps_crawler_spark.operators.stats import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = plan(hll_registers(ev, ["event_type"], F.col("user_id")))
+    assert p.count("HashAggregate") >= 2, p
+    assert "Exchange" in p, p
+    assert p.index("HashAggregate") < p.index("Exchange"), p
+
+
+def test_disc_quantiles_histogram_before_window(spark, sf_dir):
+    """The quantile window must run over the (group, value) histogram
+    aggregate, never the raw rows — the property that bounds the window
+    sort by distinct-value count. In the formatted plan the histogram
+    HashAggregate sits below (after, in print order) the Window."""
+    from ieps_crawler_spark.operators.text import token_count
+
+    from ieps_crawler_spark.operators.stats import disc_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", token_count("text").cast("long").alias("v")
+    )
+    p = plan(disc_quantiles(docs, ["lang"], "v"))
+    assert "Window" in p, p
+    # formatted explain prints operators leaves-last; the histogram
+    # aggregate must be an input of the Window stage
+    win_at = p.index("Window")
+    assert "HashAggregate" in p[win_at:], p
