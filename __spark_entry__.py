@@ -1047,6 +1047,22 @@ def q_pipeline_pack_sequences(spark, sf_dir):
         .withColumnRenamed("offset", "seq_offset")
 
 
+# source → mixture weight for the pipeline_mix_sources query: full
+# epochs + fractional extra (2.5), pure subsample (0.4), upsample (3.0),
+# drop (0.0); every other source defaults to 1.0
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src3": 3.0, "src4": 0.0}
+
+
+def q_pipeline_mix_sources(spark, sf_dir):
+    """Training-mixture assembly: per-source epoch weights replicate /
+    subsample docs deterministically (md5-threshold fractional picks),
+    emitting a copy index per kept replica."""
+    from ieps_crawler_spark.operators.sampling import mix_sources
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sources(docs, _MIX_WEIGHTS, "source", "doc_id")
+
+
 # ------------------------------------------------------------ sampling ops
 
 def q_sample_hash_split(spark, sf_dir):
@@ -1264,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
         "pipeline_source_stats": q_pipeline_source_stats,
+        "pipeline_mix_sources": q_pipeline_mix_sources,
         "sketch_hll_users": q_sketch_hll_users,
         "stats_length_quantiles": q_stats_length_quantiles,
         "sample_hash_split": q_sample_hash_split,
@@ -1538,6 +1555,37 @@ def _redact_oracle_sql() -> str:
                      regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                      '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
             FROM documents
+        """
+
+
+def _mix_sources_oracle_sql() -> str:
+    """DuckDB twin of mix_sources: the same (base, frac-bound-hex)
+    literals via two CASE chains, the same md5 string comparison, and
+    unnest(range(n)) in place of explode(sequence)."""
+    from ieps_crawler_spark.operators.sampling import mix_weight_parts
+
+    db, dbound = mix_weight_parts(1.0)
+    base_whens = "\n                       ".join(
+        f"WHEN '{s}' THEN {mix_weight_parts(w)[0]}"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    bound_whens = "\n                       ".join(
+        f"WHEN '{s}' THEN '{mix_weight_parts(w)[1]}'"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+            WITH n AS (
+              SELECT doc_id, source,
+                     (CASE source {base_whens}
+                       ELSE {db} END)
+                     + (CASE WHEN md5(doc_id::VARCHAR || '#mix') <
+                          (CASE source {bound_whens}
+                            ELSE '{dbound}' END)
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM documents)
+            SELECT doc_id, source,
+                   unnest(range(n_copies))::BIGINT AS copy
+            FROM n WHERE n_copies >= 1
         """
 
 
@@ -2586,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
                      AS p99
             FROM cum GROUP BY lang
         """,
+        "pipeline_mix_sources": _mix_sources_oracle_sql(),
         "sample_hash_split": _hash_split_oracle_sql(),
         "sample_deterministic": f"""
             SELECT doc_id FROM documents

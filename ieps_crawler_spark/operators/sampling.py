@@ -27,6 +27,8 @@ __all__ = [
     "hash_split",
     "deterministic_sample",
     "pack_sequences",
+    "mix_weight_parts",
+    "mix_sources",
 ]
 
 
@@ -130,3 +132,63 @@ def pack_sequences(
         F.floor(cum_before / F.lit(float(budget))).cast("long").alias("seq_id"),
         F.pmod(cum_before, F.lit(budget)).alias("offset"),
     )
+
+
+def mix_weight_parts(weight: float) -> tuple[int, str]:
+    """Decompose a mixture weight into (full_epochs, frac_bound_hex):
+    floor(w) guaranteed copies plus one extra iff the row's md5 falls
+    under the 128-bit threshold encoding the fractional part. The
+    threshold is a 32-char lowercase hex literal, so the per-row test is
+    the same string comparison `hash_split` uses — engine-portable and
+    exact (w=1.0 → bound '000…0', which no md5 is ever below)."""
+    if weight < 0:
+        raise ValueError("mixture weight must be >= 0")
+    base = int(weight)
+    frac = weight - base
+    return base, f"{int(frac * (1 << 128)):032x}"
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_weight: float = 1.0,
+    out_col: str = "copy",
+) -> DataFrame:
+    """Replicate/subsample rows per source to build a training mixture —
+    the "source weighting / epoch count" step (Pile- and Llama-style
+    data recipes) between curation and sequence packing. Weight 2.5
+    means every doc of that source appears twice and a deterministic
+    hash-chosen half appear a third time; 0.4 keeps a fixed 40%% once;
+    0 drops the source. Output = input columns + ``out_col`` (copy index
+    0..n-1, so downstream packing can salt per-epoch).
+
+    Deterministic and partition-independent: the extra-copy choice is
+    md5(key || salt || '#mix') against the fractional threshold, never
+    an RNG — the same doc gets the same copy count on every run at any
+    cluster size, and `salt` re-draws the fractional picks without
+    touching the full epochs.
+
+    Scale posture: a narrow map (two literal when-chains over the small
+    source vocabulary — no join, no shuffle) followed by
+    explode(sequence(0, n-1)); output size is exactly the mixture size.
+    Weights live in the plan as literals, so filter/column pushdown to
+    the scan is unaffected.
+    """
+    db, dbound = mix_weight_parts(default_weight)
+    base, bound = F.lit(db), F.lit(dbound)
+    for s, wgt in weights.items():
+        b, bd = mix_weight_parts(wgt)
+        base = F.when(F.col(group_col) == s, F.lit(b)).otherwise(base)
+        bound = F.when(F.col(group_col) == s, F.lit(bd)).otherwise(bound)
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt + "#mix")))
+    n = base + (h < bound).cast("int")
+    # sequence(0, -1) would yield [0, -1] (negative inferred step):
+    # filter zero-copy rows out BEFORE the explode
+    out = df.withColumn("_n_copies", n).filter(F.col("_n_copies") >= 1)
+    seq = F.sequence(
+        F.lit(0).cast("long"), (F.col("_n_copies") - 1).cast("long")
+    )
+    return out.select(*df.columns, F.explode(seq).alias(out_col))

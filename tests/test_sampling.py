@@ -93,3 +93,55 @@ def test_pack_sequences_partition_independent(spark, docs):
         map(tuple, pack_sequences(toks.repartition(13), shards=8).collect())
     )
     assert a == b
+
+
+def _py_mix_copies(key, source, weights, default=1.0, salt=""):
+    import hashlib
+
+    from ieps_crawler_spark.operators.sampling import mix_weight_parts
+
+    base, bound = mix_weight_parts(weights.get(source, default))
+    h = hashlib.md5((str(key) + salt + "#mix").encode()).hexdigest()
+    return base + (1 if h < bound else 0)
+
+
+def test_mix_sources_python_oracle(spark):
+    from ieps_crawler_spark.operators.sampling import mix_sources
+
+    weights = {"a": 2.5, "b": 0.4, "c": 3.0, "d": 0.0}
+    rows = [(i, "abcde"[i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in mix_sources(df, weights).collect():
+        got.setdefault((r["doc_id"], r["source"]), []).append(r["copy"])
+    for (k, s), copies in got.items():
+        n = _py_mix_copies(k, s, weights)
+        assert sorted(copies) == list(range(n)), (k, s)
+    # zero-weight source fully dropped, integral weight exactly n copies
+    assert not any(s == "d" for _, s in got)
+    for k, s in [(kk, ss) for kk, ss in rows if ss in ("c", "e")]:
+        exp = 3 if s == "c" else 1
+        assert len(got[(k, s)]) == exp, (k, s)
+    # fractional picks land near the target rate (100 keys per source)
+    extra_a = sum(1 for (k, s) in got if s == "a" and len(got[(k, s)]) == 3)
+    kept_b = sum(1 for (_, s) in got if s == "b")
+    assert 30 <= extra_a <= 70 and 20 <= kept_b <= 60
+
+
+def test_mix_sources_partition_independent_and_salt(spark):
+    from ieps_crawler_spark.operators.sampling import mix_sources
+
+    rows = [(i, "xy"[i % 2]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"x": 1.5, "y": 0.5}
+    a = sorted(map(tuple, mix_sources(df, w).collect()))
+    b = sorted(map(tuple, mix_sources(df.repartition(11, "source"), w).collect()))
+    assert a == b
+    c = sorted(map(tuple, mix_sources(df, w, salt="v2").collect()))
+    assert a != c  # fractional picks re-drawn
+    # full epochs are salt-invariant: every key keeps >= floor(w) copies
+    per_key = {}
+    for k, s, cp in c:
+        per_key[(k, s)] = max(per_key.get((k, s), 0), cp + 1)
+    for (k, s), n in per_key.items():
+        assert n >= (1 if s == "x" else 0)
