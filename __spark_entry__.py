@@ -1161,6 +1161,38 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Backward as-of join: each click gains the user's most recent
+    purchase value at or before the click (operators/joins.asof_join —
+    the union-window ASOF Spark lacks; one shuffle, no pair blow-up).
+    Timestamps emitted as microsecond-precision strings (ts is NTZ, so
+    no zone math on either engine). The purchase side is pre-aggregated
+    to one row per (user, ts) so tie handling can't differ between
+    engines."""
+    from ieps_crawler_spark.operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purch, "user_id", "ts", "ts", matched_ts_col="purchase_ts"
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_at"
+        ),
+        "purchase_value",
+    )
+
+
 # ----------------------------------------------------------------- crawl e2e
 
 def q_crawl_e2e(spark, sf_dir):
@@ -1289,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
         "crawl_e2e": q_crawl_e2e,
     }
 
@@ -2707,6 +2740,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
                      AS total_value
             FROM sess GROUP BY user_id, sess_id
+        """,
+        "events_asof_join": r"""
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_at,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_at,
+                   p.purchase_value
+            FROM clicks c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "crawl_e2e": _crawl_e2e_oracle_sql(),
     }

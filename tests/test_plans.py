@@ -195,6 +195,7 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "stats_length_quantiles",
         "dedup_substring_spans",
         "pipeline_mix_sources",
+        "events_asof_join",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
