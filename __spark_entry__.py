@@ -1216,6 +1216,28 @@ def q_dedup_substring_spans(spark, sf_dir):
     )
 
 
+def q_dedup_remove_spans(spark, sf_dir):
+    """The removal half of the Lee-et-al exact-substring pass: rewrite
+    each doc with every word inside a cross-doc duplicated 8-gram cut
+    out (order preserved), plus before/removed word counts."""
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=8
+    )
+
+
+def q_text_distinctive_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms: tf-idf ranking in exact integer
+    arithmetic (score_milli = tf*1e6 div df) so both engines hash the
+    identical rows."""
+    from ieps_crawler_spark.operators.text import distinctive_terms
+
+    return distinctive_terms(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
 def q_sketch_hll_users(spark, sf_dir):
     """From-scratch md5-HLL (m=256 — sized so every SF sits in the raw
     HLL regime n > 2.5m; 48-bit ranks): per-event-type distinct
@@ -1293,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
         "dedup_lines": q_dedup_lines,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_remove_spans": q_dedup_remove_spans,
         "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1308,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "text_top_ngrams": q_text_top_ngrams,
         "text_unigram_stats": q_text_unigram_stats,
+        "text_distinctive_terms": q_text_distinctive_terms,
         "pipeline_corpus_select": q_pipeline_corpus_select,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
@@ -2368,6 +2392,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN lng l USING (doc_id)
         """,
+        "dedup_remove_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            ix AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+              FROM w WHERE len(ws) >= 8),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+                       AS gh
+              FROM ix),
+            over_t AS (
+              SELECT gh FROM g
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT g.doc_id,
+                     unnest(range(g.pos, g.pos + 8)) AS pos
+              FROM g JOIN over_t o USING (gh)),
+            words AS (
+              SELECT doc_id, i AS pos, ws[i] AS word
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1, len(ws) + 1)) AS i
+                    FROM w)
+              WHERE length(ws[i]) > 0),
+            kept AS (
+              SELECT wd.doc_id, wd.pos, wd.word
+              FROM words wd ANTI JOIN cov c
+                ON wd.doc_id = c.doc_id AND wd.pos = c.pos),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_words
+              FROM words GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(t.n_words, 0)::BIGINT AS n_words,
+                   (coalesce(t.n_words, 0) - coalesce(r.n_kept, 0))::BIGINT
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "similarity_bruteforce_topk": r"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id % 100 = 0),
@@ -2579,6 +2651,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unigram fit on even docs, add-one-score everything: exact
         # integer twins (token/sum-freq/OOV counts) of the float nll
+        "text_distinctive_terms": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g'), ' ')) AS term
+              FROM documents),
+            w AS (SELECT * FROM words WHERE length(term) > 0),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM w GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     (t.tf * 1000000) // d.df AS score_milli
+              FROM tf t JOIN dfreq d USING (term)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_milli DESC, term ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, term, tf, df, score_milli, rnk
+            FROM ranked WHERE rnk <= 3
+        """,
         "text_unigram_stats": r"""
             WITH words AS (
               SELECT doc_id,

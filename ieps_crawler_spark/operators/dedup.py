@@ -781,3 +781,81 @@ def duplicate_span_stats(
             .alias("longest_span_words"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of the Lee-et-al exact-substring pass (stats
+    half: duplicate_span_stats): rewrite each document with every word
+    that participates in a cross-document duplicated word-n-gram cut
+    out, preserving the order of the surviving words. Docs shorter than
+    n words (no grams) pass through untouched. Returns
+    (id, clean_text, n_words, n_removed).
+
+    Scale posture: the shared-gram detection is duplicate_span_stats'
+    plan (md5-key aggregate + flag join); the removal adds one
+    explode(sequence) over SHARED starts only (covered word positions —
+    O(duplicated text), not O(corpus)), a left-anti join on (doc, pos),
+    and one per-doc rebuild aggregate. The rebuild sorts each doc's
+    surviving words inside an array aggregate (array_sort on (pos,
+    word) structs — per-doc memory = that doc's words, the same bound
+    any text rewrite has), so no window over the token stream and no
+    skew beyond document length itself.
+    """
+    from .text import word_ngrams
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    grams = base.select(
+        "_id", F.posexplode(word_ngrams("_t", n)).alias("_pos", "_g")
+    ).select("_id", "_pos", F.md5("_g").alias("_gh"))
+    over = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    covered = (
+        grams.join(over, "_gh")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("_t"))), r"\s+", " ")
+    words = base.select(
+        "_id", F.posexplode(F.split(norm, " ")).alias("_pos", "_w")
+    ).filter(F.length("_w") > 0)
+    kept = words.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = words.groupBy("_id").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        base.select("_id")
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            (
+                F.coalesce("n_words", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -218,6 +218,57 @@ def top_ngrams(
     )
 
 
+def distinctive_terms(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+):
+    """Top-k most distinctive terms per document — tf-idf re-expressed
+    in exact integer arithmetic so every engine ranks identically:
+    score_milli = (tf * 1_000_000) div df, ranked (score desc, term
+    asc). Floating idf = ln(N/df) would order the same way for fixed N
+    (ln is monotone in tf/df), so the integer ratio keeps tf-idf's
+    ranking while staying hash-stable across engines — the same
+    exact-twin trick as quality_gates_passed.
+
+    Scale posture: one explode + TWO hash aggregates with map-side
+    combine (doc-term tf, then term df derived from the tf table — the
+    tokens are never re-scanned); the df join keys are uniformly-
+    distributed terms (AQE broadcasts when the vocab is small); the
+    per-doc top-k is one window partitioned by doc over its distinct
+    terms, not its token stream. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_milli", F.expr("(tf * 1000000) div df")
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "score_milli",
+            "rnk",
+        )
+    )
+
+
 # ----------------------------------------------------- unigram LM scoring
 
 def fit_unigram_freq(df, text_col: str = "text"):

@@ -196,6 +196,8 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "dedup_substring_spans",
         "pipeline_mix_sources",
         "events_asof_join",
+        "dedup_remove_spans",
+        "text_distinctive_terms",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"

@@ -98,3 +98,67 @@ def test_partition_independent(spark):
     a = _collect(duplicate_span_stats(df.repartition(1)))
     b = _collect(duplicate_span_stats(df.repartition(13, "text")))
     assert a == b
+
+
+# ------------------------------------------------- remove_duplicate_spans
+
+def _py_remove(docs, n=N, min_docs=2):
+    grams = {}
+    toks = {}
+    for d, t in docs:
+        ws = [w for w in _norm_words(t) if w]
+        toks[d] = ws
+        for i in range(max(0, len(ws) - n + 1)):
+            grams.setdefault(" ".join(ws[i : i + n]), set()).add(d)
+    out = {}
+    for d, ws in toks.items():
+        cov = set()
+        for i in range(max(0, len(ws) - n + 1)):
+            if len(grams[" ".join(ws[i : i + n])]) >= min_docs:
+                cov.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ws) if i not in cov]
+        out[d] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_remove_spans_hand_and_oracle(spark):
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    w = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    shared = w(100, 112)
+    docs = [
+        (1, w(0, 20) + " " + shared),
+        (2, shared + " " + w(200, 230)),
+        (3, w(300, 340)),
+        (4, "only five words here now"),
+        (5, ""),
+        (6, shared),  # doc that is ENTIRELY a duplicated span
+    ]
+    exp = _py_remove(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in remove_duplicate_spans(df).collect()
+    }
+    assert got == exp
+    # the duplicated run is gone, unique words survive in order
+    assert got[1][0] == w(0, 20)
+    assert got[2][0] == w(200, 230)
+    assert got[3] == (w(300, 340), 40, 0)
+    assert got[6] == ("", 12, 12)
+
+
+def test_remove_spans_partition_independent(spark):
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_spans
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, base + f" unique{i} tail{i}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df).collect()))
+    b = sorted(
+        map(tuple, remove_duplicate_spans(df.repartition(7)).collect())
+    )
+    assert a == b
+    assert a == sorted(
+        (i,) + v for i, v in _py_remove(docs).items()
+    )

@@ -80,3 +80,59 @@ def test_ngram_contamination_flags_shared_grams(spark):
     assert got[2] == (0, False)
     assert got[3][1] is True and got[3][0] >= 1
     assert len(got) == 3  # every train row present
+
+
+# ---------------------------------------------------- distinctive_terms
+
+def _py_distinctive(docs, k=5):
+    from collections import Counter
+
+    tfs = {d: Counter(" ".join(t.lower().split()).split()) for d, t in docs}
+    for d in tfs:
+        tfs[d] = Counter({w: c for w, c in tfs[d].items() if w})
+    dfreq = Counter()
+    for c in tfs.values():
+        dfreq.update(c.keys())
+    out = {}
+    for d, c in tfs.items():
+        rows = sorted(
+            ((t, tf, dfreq[t], tf * 1_000_000 // dfreq[t]) for t, tf in c.items()),
+            key=lambda r: (-r[3], r[0]),
+        )[:k]
+        out[d] = [(t, tf, df_, s, i + 1) for i, (t, tf, df_, s) in enumerate(rows)]
+    return out
+
+
+def test_distinctive_terms_python_oracle(spark):
+    from ieps_crawler_spark.operators.text import distinctive_terms
+
+    docs = [
+        (1, "apple apple banana common common common"),
+        (2, "banana cherry common common zebra zebra zebra"),
+        (3, "common plain words apple"),
+        (4, ""),
+    ]
+    exp = _py_distinctive(docs, k=3)
+    got = {}
+    for r in distinctive_terms(
+        spark.createDataFrame(docs, "doc_id long, text string"), k=3
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["score_milli"], r["rnk"])
+        )
+    for d in got:
+        got[d].sort(key=lambda t: t[4])
+    assert got == {d: v for d, v in exp.items() if v}
+    # rare repeated term outranks the ubiquitous one
+    assert got[2][0][0] == "zebra"
+    assert all(t[0] != "common" or t[4] > 1 for t in got[2])
+
+
+def test_distinctive_terms_partition_independent(spark):
+    from ieps_crawler_spark.operators.text import distinctive_terms
+
+    docs = [(i, f"shared words everywhere plus unique{i % 7} rare{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, distinctive_terms(df, k=4).collect()))
+    b = sorted(map(tuple, distinctive_terms(df.repartition(9), k=4).collect()))
+    assert a == b
