@@ -1261,6 +1261,29 @@ def q_sketch_hll_users(spark, sf_dir):
     )
 
 
+def q_sketch_cms_users(spark, sf_dir):
+    """Count-min sketch (depth 4 × width 256) of per-user event counts,
+    probed back with every distinct user — integer md5 algebra end to
+    end, so the SQL replay hash-matches. est >= true count always; the
+    pytest suite asserts the tightness bound."""
+    from ieps_crawler_spark.operators.stats import cms_estimate, cms_sketch
+
+    ev = _read(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=256)
+    probes = ev.select("user_id").distinct()
+    return cms_estimate(sk, probes, "user_id", depth=4, width=256)
+
+
+def q_sample_per_source(spark, sf_dir):
+    """Deterministic 3-per-source document sample (smallest md5(key)
+    wins) — the stable eyeball sample a curation loop re-runs every
+    wave without churn."""
+    from ieps_crawler_spark.operators.sampling import group_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return group_sample(docs, "source", "doc_id", k=3)
+
+
 def q_stats_length_quantiles(spark, sf_dir):
     """Exact per-language token-length quantiles (percentile_disc
     semantics) via the histogram + cumulative-window method — the
@@ -1338,9 +1361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_stats": q_pipeline_source_stats,
         "pipeline_mix_sources": q_pipeline_mix_sources,
         "sketch_hll_users": q_sketch_hll_users,
+        "sketch_cms_users": q_sketch_cms_users,
         "stats_length_quantiles": q_stats_length_quantiles,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
+        "sample_per_source": q_sample_per_source,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
@@ -2737,6 +2762,29 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY source
         """,
         "sketch_hll_users": _hll_oracle_sql(),
+        "sketch_cms_users": r"""
+            WITH reps AS (
+              SELECT user_id::VARCHAR AS k, unnest(range(0, 4)) AS j
+              FROM events),
+            cells AS (
+              SELECT j,
+                     ('0x' || substr(md5(k || '#cms' || j::VARCHAR), 1, 8))
+                       ::BIGINT % 256 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM reps GROUP BY j, bucket),
+            probes AS (SELECT DISTINCT user_id::VARCHAR AS k FROM events),
+            pj AS (SELECT k, unnest(range(0, 4)) AS j FROM probes),
+            keyed AS (
+              SELECT k, j,
+                     ('0x' || substr(md5(k || '#cms' || j::VARCHAR), 1, 8))
+                       ::BIGINT % 256 AS bucket
+              FROM pj),
+            hit AS (
+              SELECT keyed.k, coalesce(c.cnt, 0) AS cnt
+              FROM keyed LEFT JOIN cells c USING (j, bucket))
+            SELECT k AS user_id, min(cnt) AS est
+            FROM hit GROUP BY k
+        """,
         # exact percentile_disc via histogram + cumulative window — the
         # same method the Spark side runs, so values AND tie behavior
         # match by construction
@@ -2769,6 +2817,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR))
                   < '{int(0.2 * (1 << 128)):032x}'
+        """,
+        "sample_per_source": r"""
+            WITH ranked AS (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR || '#gs') ASC,
+                                doc_id ASC) AS rn
+              FROM documents)
+            SELECT doc_id, source, lang FROM ranked WHERE rn <= 3
         """,
         "graph_pagerank": r"""
             WITH e AS (

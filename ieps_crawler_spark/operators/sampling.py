@@ -29,6 +29,7 @@ __all__ = [
     "pack_sequences",
     "mix_weight_parts",
     "mix_sources",
+    "group_sample",
 ]
 
 
@@ -192,3 +193,35 @@ def mix_sources(
         F.lit(0).cast("long"), (F.col("_n_copies") - 1).cast("long")
     )
     return out.select(*df.columns, F.explode(seq).alias(out_col))
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group keep the k
+    rows with the smallest md5(key ∥ salt ∥ '#gs') — the "show me 5
+    docs per source / per language / per host" eyeball query every
+    curation loop runs. Unlike df.sampleBy, the pick is a pure function
+    of the key: stable across runs, partitionings, and cluster sizes,
+    re-drawable via ``salt``, and the SAME rows appear as the corpus
+    grows (a key's hash never changes — new rows only displace old
+    picks when they hash lower).
+
+    Scale posture: one host-style windowed top-k per group. Group count
+    here is small (sources/langs); for heavy-tailed group keys reuse
+    the two-phase salted top-k in operators/politeness.py — same
+    contract, provably identical output (tests/test_politeness_salt).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt + "#gs")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

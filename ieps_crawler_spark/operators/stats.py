@@ -206,3 +206,85 @@ def disc_quantiles(
             F.min(F.when(F.col("_cum") >= thr, F.col(value_col))).alias(name)
         )
     return cum.groupBy(*group_cols).agg(F.max("_n").alias("n_rows"), *aggs)
+
+
+# ------------------------------------------------------- count-min sketch
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of a key column: ``depth × width`` integer
+    counters, row j counting keys at bucket md5(key ∥ '#cms' ∥ j) mod
+    width. Answers "roughly how often does key x occur?" in O(depth)
+    lookups with one-sided error (never an undercount) from a table of
+    at most depth·width rows — the bounded-memory twin of an exact
+    groupBy-count whose key cardinality would not fit (per-URL hit
+    counts at 10^10-frontier scale). Same determinism contract as the
+    md5-HLL above: the hash is engine-portable md5 hex → integer, all
+    state is integer, so DuckDB replays the sketch byte-for-byte.
+
+    Scale posture: one explode (×depth) + ONE hash aggregate with
+    map-side combine onto at most depth·width cells — the shuffle
+    carries cells, not keys. Sketches OR-merge across waves/sources by
+    (j, bucket) SUM (cms_merge); hot keys cannot skew the shuffle
+    because the cell space is fixed.
+    """
+    reps = df.select(
+        F.col(col).cast("string").alias("_k"),
+        (F.coalesce(F.col(weight_col), F.lit(0)) if weight_col else F.lit(1))
+        .cast("long")
+        .alias("_w"),
+    ).select(
+        "_k", "_w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    bucket = _cms_bucket(F.col("_k"), F.col("j"), width)
+    return (
+        reps.select("j", bucket.alias("bucket"), "_w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def _cms_bucket(key: Column, j: Column, width: int) -> Column:
+    """Engine-portable CMS hash: first 8 hex chars of md5(key∥'#cms'∥j)
+    as an integer, mod width. conv() is the same base-16 parse DuckDB's
+    from_hex/hex arithmetic replays."""
+    h8 = F.substring(F.md5(F.concat(key, F.lit("#cms"), j.cast("string"))), 1, 8)
+    return F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(width))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS tables built with identical (depth, width): per-cell
+    SUM — the sketch of the concatenated inputs, exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for a probe key set: est = min over rows j of
+    the counter at that key's bucket — ≥ the true count always, ≈ equal
+    unless the key collides with heavy keys in EVERY row. Join shape:
+    probes × depth rows against ≤ depth·width cells — AQE broadcasts
+    the sketch side; integer-only output."""
+    pj = probes.select(F.col(col).cast("string").alias("_k")).select(
+        "_k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    keyed = pj.select("_k", "j", _cms_bucket(F.col("_k"), F.col("j"), width).alias("bucket"))
+    hit = keyed.join(sketch, ["j", "bucket"], "left").select(
+        "_k", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return hit.groupBy("_k").agg(F.min("cnt").alias("est")).select(
+        F.col("_k").alias(col), "est"
+    )

@@ -198,6 +198,8 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "events_asof_join",
         "dedup_remove_spans",
         "text_distinctive_terms",
+        "sketch_cms_users",
+        "sample_per_source",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"

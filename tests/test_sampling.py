@@ -145,3 +145,53 @@ def test_mix_sources_partition_independent_and_salt(spark):
         per_key[(k, s)] = max(per_key.get((k, s), 0), cp + 1)
     for (k, s), n in per_key.items():
         assert n >= (1 if s == "x" else 0)
+
+
+def test_group_sample_deterministic_and_stable(spark):
+    import hashlib
+
+    from ieps_crawler_spark.operators.sampling import group_sample
+
+    rows = [(i, "st"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in group_sample(df, "source", "doc_id", k=4).collect()
+    )
+    # python twin: 4 smallest md5(key||'#gs') per group
+    exp = []
+    for g in "st":
+        ks = sorted(
+            (hashlib.md5(f"{i}#gs".encode()).hexdigest(), i)
+            for i, s in rows
+            if s == g
+        )[:4]
+        exp += [(g, i) for _, i in ks]
+    assert got == sorted(exp)
+    # partition independence
+    got2 = sorted(
+        (r["source"], r["doc_id"])
+        for r in group_sample(
+            df.repartition(11), "source", "doc_id", k=4
+        ).collect()
+    )
+    assert got == got2
+    # growth stability: adding rows only ever displaces, never reshuffles
+    grown = spark.createDataFrame(
+        rows + [(i, "st"[i % 2]) for i in range(200, 260)],
+        "doc_id long, source string",
+    )
+    got3 = {
+        (r["source"], r["doc_id"])
+        for r in group_sample(grown, "source", "doc_id", k=4).collect()
+    }
+    # every original pick either survives or lost to a lower hash
+    for g, i in got:
+        if (g, i) not in got3:
+            h_old = hashlib.md5(f"{i}#gs".encode()).hexdigest()
+            newer = [
+                hashlib.md5(f"{j}#gs".encode()).hexdigest()
+                for j in range(200, 260)
+                if "st"[j % 2] == g
+            ]
+            assert any(h < h_old for h in newer), (g, i)

@@ -140,3 +140,74 @@ def test_quantiles_partition_independent(spark):
     a = disc_quantiles(df.repartition(1), ["g"], "v").collect()
     b = disc_quantiles(df.repartition(16, "v"), ["g"], "v").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------- count-min sketch
+
+def _py_cms_bucket(key, j, width=1024):
+    import hashlib
+
+    h = hashlib.md5(f"{key}#cms{j}".encode()).hexdigest()[:8]
+    return int(h, 16) % width
+
+
+def _py_cms(keys, depth=4, width=1024):
+    cells = {}
+    for k in keys:
+        for j in range(depth):
+            cell = (j, _py_cms_bucket(k, j, width))
+            cells[cell] = cells.get(cell, 0) + 1
+    return cells
+
+
+def test_cms_registers_python_oracle(spark):
+    from ieps_crawler_spark.operators.stats import cms_sketch
+
+    keys = [f"k{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(df, "k", depth=4, width=64).collect()
+    }
+    assert got == _py_cms(keys, 4, 64)
+
+
+def test_cms_estimate_never_undercounts_and_is_tight(spark):
+    from collections import Counter
+
+    from ieps_crawler_spark.operators.stats import cms_estimate, cms_sketch
+
+    keys = [f"u{i % 200}" for i in range(2000)] + ["hot"] * 300
+    true = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = cms_sketch(df, "k", depth=4, width=1024)
+    probes = spark.createDataFrame(
+        [(k,) for k in ["hot", "u0", "u7", "never-seen"]], "k string"
+    )
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, probes, "k").collect()}
+    for k, e in est.items():
+        assert e >= true.get(k, 0), k
+    # 2200 increments over 4x1024 cells: overestimates are tiny
+    assert est["hot"] <= true["hot"] + 25
+    assert est["never-seen"] <= 25
+
+
+def test_cms_merge_equals_concat_build(spark):
+    from ieps_crawler_spark.operators.stats import cms_merge, cms_sketch
+
+    a = [f"a{i % 11}" for i in range(150)]
+    b = [f"b{i % 7}" for i in range(90)] + a[:40]
+    da = spark.createDataFrame([(k,) for k in a], "k string")
+    db = spark.createDataFrame([(k,) for k in b], "k string")
+    dall = spark.createDataFrame([(k,) for k in a + b], "k string")
+    merged = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_sketch(da, "k", width=64), cms_sketch(db, "k", width=64)
+        ).collect()
+    }
+    direct = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(dall, "k", width=64).collect()
+    }
+    assert merged == direct
