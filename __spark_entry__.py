@@ -1193,6 +1193,54 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def _ntz_epoch_us(c: str):
+    """Epoch micros from a TIMESTAMP_NTZ without any session-timezone
+    interpretation (date_diff + clock-part extracts are all TZ-free on
+    NTZ) — DuckDB's epoch_us(naive ts) computes exactly this."""
+    days = F.date_diff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date"))
+    secs = (
+        days.cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+    return secs * 1_000_000 + F.date_format(c, "SSSSSS").cast("long")
+
+
+def q_events_range_join(spark, sf_dir):
+    """Point-in-interval join via bucketed equi-join (operators/joins
+    range_join_points — no BroadcastNestedLoopJoin): every click landing
+    within 6 hours after an error by the same user. Integer epoch
+    micros end to end."""
+    from ieps_crawler_spark.operators.joins import range_join_points
+
+    ev = _read(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            _ntz_epoch_us("ts").alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + F.lit(21_600_000_000))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        _ntz_epoch_us("ts").alias("click_us"),
+    )
+    return range_join_points(
+        clicks, err, "click_us", "lo", "hi", on="user_id",
+        bucket_width=21_600_000_000.0,
+    ).select(
+        "click_id",
+        "err_id",
+        "user_id",
+        "click_us",
+        (F.col("click_us") - F.col("lo")).alias("delta_us"),
+    )
+
+
 # ----------------------------------------------------------------- crawl e2e
 
 def q_crawl_e2e(spark, sf_dir):
@@ -1371,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "crawl_e2e": q_crawl_e2e,
     }
 
@@ -2909,6 +2958,22 @@ def oracle_sql() -> dict[str, str]:
                    p.purchase_value
             FROM clicks c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_range_join": r"""
+            WITH err AS (
+              SELECT event_id AS err_id, user_id,
+                     epoch_us(ts) AS lo,
+                     epoch_us(ts) + 21600000000 AS hi
+              FROM events WHERE event_type = 'error'),
+            c AS (
+              SELECT event_id AS click_id, user_id,
+                     epoch_us(ts) AS click_us
+              FROM events WHERE event_type = 'click')
+            SELECT c.click_id, e.err_id, c.user_id, c.click_us,
+                   c.click_us - e.lo AS delta_us
+            FROM c JOIN err e
+              ON c.user_id = e.user_id
+             AND c.click_us BETWEEN e.lo AND e.hi
         """,
         "crawl_e2e": _crawl_e2e_oracle_sql(),
     }

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join_points"]
 
 
 def asof_join(
@@ -126,3 +126,63 @@ def asof_join(
         cols.append(F.col("__hit.__matched_ts").alias(matched_ts_col))
     cols += [F.col(f"__hit.{c}").alias(c) for c in payload]
     return out.select(*cols)
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: str | list[str] | None = None,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Point-in-interval inner join (``lo <= x <= hi``, optional equal
+    key) without the nested-loop plan Spark gives non-equi joins: each
+    interval explodes into the fixed-width buckets it covers, each
+    point lives in exactly ONE bucket, and the match becomes an
+    equi-join on (key, bucket) + a residual filter. No duplicate
+    elimination is needed — a (point, interval) pair can only meet in
+    the point's single bucket.
+
+    ``bucket_width`` trades explode factor against join selectivity:
+    pick it near the TYPICAL interval length, so each interval lands in
+    ~2 buckets and each bucket's candidate set stays local. Cost is
+    O(points + intervals·(len/width)) rows into one shuffle — never the
+    per-key cross product a naive BroadcastNestedLoopJoin materializes,
+    which is the difference between a 100 TB event table joining
+    incident windows in one pass and not finishing.
+
+    Both sides must share no column names (project/rename first);
+    numeric or timestamp-cast columns only (the caller converts
+    timestamps to epoch seconds — monotone, so the residual compare is
+    equivalent).
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"points/intervals share non-key columns {sorted(overlap)}; "
+            "rename or project first"
+        )
+    b = float(bucket_width)
+    pt = points.withColumn(
+        "_b", F.floor(F.col(point_col).cast("double") / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col).cast("double") / b).cast("long"),
+                F.floor(F.col(hi_col).cast("double") / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        pt.join(iv, keys + ["_b"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_b")
+    )

@@ -124,3 +124,86 @@ def test_asof_join_single_shuffle_plan(spark):
     # roots) — no join operator, no pair blow-up
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------- range_join_points
+
+def _py_range_join(points, intervals, keyed=True):
+    out = set()
+    for pi, (pk, x) in enumerate(points):
+        for ii, (ik, lo, hi) in enumerate(intervals):
+            if (not keyed or pk == ik) and lo <= x <= hi:
+                out.add((pi, ii))
+    return out
+
+
+def test_range_join_python_oracle(spark):
+    import random
+
+    from ieps_crawler_spark.operators.joins import range_join_points
+
+    rng = random.Random(5)
+    points = [(rng.randrange(8), rng.uniform(0, 1000)) for _ in range(300)]
+    intervals = []
+    for _ in range(120):
+        lo = rng.uniform(0, 1000)
+        intervals.append((rng.randrange(8), lo, lo + rng.uniform(0, 80)))
+    p = spark.createDataFrame(
+        [(k, x, i) for i, (k, x) in enumerate(points)],
+        "k long, x double, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(intervals)],
+        "k long, lo double, hi double, iid long",
+    )
+    for width in (10.0, 40.0, 500.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_points(
+                p, iv, "x", "lo", "hi", on="k", bucket_width=width
+            ).collect()
+        }
+        assert got == _py_range_join(points, intervals), width
+
+
+def test_range_join_unkeyed_and_boundaries(spark):
+    from ieps_crawler_spark.operators.joins import range_join_points
+
+    p = spark.createDataFrame(
+        [(10.0, 1), (20.0, 2), (20.5, 3)], "x double, pid long"
+    )
+    iv = spark.createDataFrame(
+        [(10.0, 20.0, 1)], "lo double, hi double, iid long"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(p, iv, "x", "lo", "hi", bucket_width=7.0).collect()
+    }
+    assert got == {(1, 1), (2, 1)}  # both endpoints inclusive, 20.5 out
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    from ieps_crawler_spark.operators.joins import range_join_points
+
+    p = spark.createDataFrame([(1, 5.0, 1)], "k long, x double, pid long")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0, 1)], "k long, lo double, hi double, iid long"
+    )
+    plan = (
+        range_join_points(p, iv, "x", "lo", "hi", on="k", bucket_width=5.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_collision_raises(spark):
+    import pytest
+
+    from ieps_crawler_spark.operators.joins import range_join_points
+
+    p = spark.createDataFrame([(1, 5.0)], "k long, x double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0, 3.0)], "k long, lo double, hi double, x double")
+    with pytest.raises(ValueError):
+        range_join_points(p, iv, "x", "lo", "hi", on="k")

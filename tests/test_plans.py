@@ -200,6 +200,7 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "text_distinctive_terms",
         "sketch_cms_users",
         "sample_per_source",
+        "events_range_join",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
