@@ -224,3 +224,61 @@ def test_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
     want = _batch_sessions(ev.toPandas())
     assert got == want
     assert len(got) > 0
+
+
+# ------------------------------------------------------- seed ingestion
+
+def test_seed_ingest_stream_equals_batch_and_dedups(spark, tmp_path):
+    import os
+
+    from ieps_crawler_spark.streaming.seed_stream import (
+        canonicalize_seed_lines,
+        run_seed_ingest,
+    )
+
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        "http://www.example.gov.si/index.html",   # canon quirk: index strip
+        "http://example.gov.si/",                 # same canon as above
+        "https://other.gov.si/a/b/?q=1#frag",
+        "   ",                                    # blank: dropped
+        "http://other.gov.si/a/b/?q=1",           # dup after canon
+    ]
+    (seeds / "f1.txt").write_text("\n".join(batch1))
+    run_seed_ingest(spark, str(seeds), frontier, ckpt)
+    got1 = {
+        (r["canon_url"], r["host"])
+        for r in spark.read.parquet(frontier).collect()
+    }
+    exp1 = {
+        (r["canon_url"], r["host"])
+        for r in canonicalize_seed_lines(
+            spark.read.text(str(seeds))
+        ).collect()
+    }
+    assert got1 == exp1 and len(got1) >= 2
+
+    # second file: overlap + one new url; only the new one appends
+    (seeds / "f2.txt").write_text(
+        "http://www.example.gov.si/index.html\nhttp://fresh.gov.si/new"
+    )
+    run_seed_ingest(spark, str(seeds), frontier, ckpt)
+    got2 = {
+        (r["canon_url"], r["host"])
+        for r in spark.read.parquet(frontier).collect()
+    }
+    new = got2 - got1
+    assert len(got2) == len(got1) + 1 and len(new) == 1
+    assert next(iter(new))[1] == "fresh.gov.si"
+    # batch twin over ALL files agrees with the streamed frontier
+    exp2 = {
+        (r["canon_url"], r["host"])
+        for r in canonicalize_seed_lines(
+            spark.read.text(str(seeds))
+        ).collect()
+    }
+    assert got2 == exp2
