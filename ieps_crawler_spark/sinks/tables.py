@@ -93,7 +93,7 @@ class SnapshotStore:
         def _write(item):
             name, df = item
             path = os.path.join(staging, name)
-            df.write.mode("overwrite").parquet(path)
+            _sized_write(df, path)
             # per-partition lineage: parquet part-file row counts
             return name, _partition_rowcounts(path)
 
@@ -237,7 +237,7 @@ class DeltaLog:
             shutil.rmtree(staging)
         if os.path.exists(final):
             shutil.rmtree(final)
-        df.write.mode("overwrite").parquet(staging)
+        _sized_write(df, staging)
         os.rename(staging, final)
 
     def append_local(self, wave: int, name: str, rows: list[dict]) -> None:
@@ -288,6 +288,23 @@ class DeltaLog:
                 r = self._dir_range(d)
                 if r is None or r[1] > wave:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+def _sized_write(df: DataFrame, path: str) -> None:
+    """Write with an AQE REBALANCE shuffle in front: Spark sizes the
+    output files to the advisory partition size (~64 MB) instead of
+    emitting one file per upstream task — a toy wave writes ONE file
+    where it wrote 64 four-KB ones (each parquet commit is a fixed
+    filesystem round-trip, so tiny-file counts turn IO-latency jitter
+    into wave-time jitter), and a 10^7-row wave still writes tens of
+    right-sized files in parallel. This is Iceberg's
+    write.distribution-mode shuffle; upstream stages (extraction,
+    dedup) keep full parallelism — only the final narrow write stage
+    re-buckets. Falls back to a plain write for non-AQE sessions."""
+    try:
+        df.hint("rebalance").write.mode("overwrite").parquet(path)
+    except Exception:
+        df.write.mode("overwrite").parquet(path)
 
 
 def _partition_rowcounts(path: str) -> list[dict]:
