@@ -414,6 +414,30 @@ def q_crawl_load_analytics(spark, sf_dir):
     )
 
 
+def q_crawl_adaptive_delay(spark, sf_dir):
+    """Feedback politeness (operators/politeness.adaptive_delays): per-
+    host delay = clamp(500, 10000, 3 × exact p95 load_time) over the
+    deterministic load-time model — the auto-tuning layer on top of the
+    reference's fixed 4 s Crawl-delay."""
+    from ieps_crawler_spark.operators.politeness import adaptive_delays
+
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    hid = F.pmod(F.col("o_custkey"), F.lit(23))
+    fetched = (
+        o.select("o_custkey",
+                 F.concat(F.lit("h"), hid.cast("string")).alias("host"))
+        .join(
+            c.select(F.col("c_custkey").alias("k"),
+                     F.length("c_name").alias("body_len")),
+            F.col("o_custkey") == F.col("k"), "inner",
+        )
+        .withColumn("load_time_ms",
+                    (F.pmod(F.col("body_len"), F.lit(4000)) + 100).cast("long"))
+    )
+    return adaptive_delays(fetched)
+
+
 def q_crawl_extract_links(spark, sf_dir):
     """The quirk-laden link extractor (O11, ExtractFromHTML.scala
     transcription) run for real inside the plan: HTML is constructed
@@ -1372,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_upsert_latest": q_crawl_upsert_latest,
         "crawl_assets": q_crawl_assets,
         "crawl_load_analytics": q_crawl_load_analytics,
+        "crawl_adaptive_delay": q_crawl_adaptive_delay,
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_refresh_topk": q_crawl_refresh_topk,
@@ -2163,6 +2188,27 @@ def oracle_sql() -> dict[str, str]:
                    max(load_time_ms) AS max_load_ms,
                    round(avg(wait_ms), 4) AS avg_wait_ms
             FROM ranked GROUP BY host
+        """,
+        "crawl_adaptive_delay": r"""
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 23) AS host,
+                     (length(c_name) % 4000 + 100)::BIGINT AS v
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            h AS (SELECT host, v, count(*) AS c FROM f GROUP BY host, v),
+            cum AS (
+              SELECT host, v,
+                     sum(c) OVER (PARTITION BY host ORDER BY v) AS cm,
+                     sum(c) OVER (PARTITION BY host) AS n
+              FROM h),
+            q AS (
+              SELECT host,
+                     min(CASE WHEN cm >= ceil(0.95 * n) THEN v END)::BIGINT
+                       AS load_p_ms
+              FROM cum GROUP BY host)
+            SELECT host, load_p_ms,
+                   least(10000, greatest(500, load_p_ms * 3))::BIGINT
+                     AS delay_ms
+            FROM q
         """,
         # construct→extract→predict: the HTML built by the Spark query
         # yields exactly these rows under the transcribed

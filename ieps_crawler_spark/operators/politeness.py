@@ -210,3 +210,50 @@ def refresh_schedule(
         )
         .select("url", "host", "warc_ts", "age_s", "fetch_order", "sched_ts")
     )
+
+
+def adaptive_delays(
+    fetches: DataFrame,
+    host_col: str = "host",
+    load_col: str = "load_time_ms",
+    p: float = 0.95,
+    mult: int = 3,
+    min_ms: int = 500,
+    max_ms: int = 10_000,
+    default_ms: int = 4_000,
+) -> DataFrame:
+    """Feedback politeness: per-host crawl delay derived from MEASURED
+    server latency — delay_ms = clamp(min, max, mult × p95(load_time)).
+    A slow host (p95 500 ms) gets mult× headroom between hits; a fast
+    CDN host drops to the floor. The reference fixes 4 s for every host
+    (DomainWorkerActor.scala:129 via Crawl-delay default) — this is the
+    auto-tuning layer real crawlers put on top, and hosts with no
+    observations keep ``default_ms`` (the reference's constant).
+
+    All-integer output (exact p-quantile via stats.disc_quantiles —
+    histogram + one window over distinct values — then integer
+    multiply/clamp): hash-stable across engines, and mergeable into
+    host_delays() as an override column.
+
+    Scale posture: the quantile aggregates a (host, load_ms) histogram
+    (map-side combine collapses repeated latencies per task), the
+    window sorts each host's DISTINCT latencies, and the clamp is a
+    narrow map — no per-fetch window, no join until the caller merges.
+    """
+    from .stats import disc_quantiles
+
+    q = disc_quantiles(
+        fetches.select(host_col, load_col), [host_col], load_col, ps=(p,)
+    )
+    pcol = f"p{str(p)[2:].ljust(2, '0')}"  # disc_quantiles' column naming
+    return q.select(
+        host_col,
+        F.col(pcol).cast("long").alias("load_p_ms"),
+        F.least(
+            F.lit(max_ms).cast("long"),
+            F.greatest(
+                F.lit(min_ms).cast("long"),
+                F.col(pcol).cast("long") * mult,
+            ),
+        ).alias("delay_ms"),
+    )

@@ -66,3 +66,47 @@ def test_salted_budget_matches_single_phase(spark):
     # batch ∪ leftover partitions the frontier
     n = fr.count()
     assert batch1.count() + left1.count() == n
+
+
+# ------------------------------------------------------- adaptive_delays
+
+def _py_p95(vals, p=0.95):
+    import math
+
+    vals = sorted(vals)
+    return vals[math.ceil(p * len(vals)) - 1]
+
+
+def test_adaptive_delays_python_oracle(spark):
+    import random
+
+    from ieps_crawler_spark.operators.politeness import adaptive_delays
+
+    rng = random.Random(13)
+    rows = []
+    for h, base in [("slow", 2000), ("fast", 20), ("mid", 900)]:
+        rows += [(h, base + rng.randrange(100)) for _ in range(97)]
+    df = spark.createDataFrame(rows, "host string, load_time_ms long")
+    got = {r["host"]: (r["load_p_ms"], r["delay_ms"])
+           for r in adaptive_delays(df).collect()}
+    for h in ("slow", "fast", "mid"):
+        vals = [v for hh, v in rows if hh == h]
+        p95 = _py_p95(vals)
+        assert got[h][0] == p95, h
+        assert got[h][1] == max(500, min(10_000, 3 * p95)), h
+    # clamps actually engage: fast floored at 500, slow un-ceilinged
+    assert got["fast"][1] == 500
+    assert got["slow"][1] == min(10_000, 3 * got["slow"][0])
+
+
+def test_adaptive_delays_partition_independent(spark):
+    import random
+
+    from ieps_crawler_spark.operators.politeness import adaptive_delays
+
+    rng = random.Random(17)
+    rows = [("h%d" % (i % 5), rng.randrange(5000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, load_time_ms long")
+    a = sorted(map(tuple, adaptive_delays(df).collect()))
+    b = sorted(map(tuple, adaptive_delays(df.repartition(9)).collect()))
+    assert a == b
