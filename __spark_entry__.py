@@ -1346,6 +1346,22 @@ def q_sketch_cms_users(spark, sf_dir):
     return cms_estimate(sk, probes, "user_id", depth=4, width=256)
 
 
+def q_sketch_hdr_lengths(spark, sf_dir):
+    """HDR-style mergeable quantile sketch (log-scaled integer buckets,
+    2^-3 relative band) over per-language token lengths — the 10^12-row
+    path where even the exact histogram quantile's distinct-value set is
+    too wide. Pure bit-pattern bucketing (bin/shift): SQL replays it
+    exactly, unlike approx_percentile's engine-private KLL state."""
+    from ieps_crawler_spark.operators.stats import hdr_estimate, hdr_registers
+    from ieps_crawler_spark.operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("toks")
+    )
+    regs = hdr_registers(docs, ["lang"], "toks")
+    return hdr_estimate(regs, ["lang"])
+
+
 def q_sample_per_source(spark, sf_dir):
     """Deterministic 3-per-source document sample (smallest md5(key)
     wins) — the stable eyeball sample a curation loop re-runs every
@@ -1435,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix_sources": q_pipeline_mix_sources,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_cms_users": q_sketch_cms_users,
+        "sketch_hdr_lengths": q_sketch_hdr_lengths,
         "stats_length_quantiles": q_stats_length_quantiles,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
@@ -2883,6 +2900,38 @@ def oracle_sql() -> dict[str, str]:
         # exact percentile_disc via histogram + cumulative window — the
         # same method the Spark side runs, so values AND tie behavior
         # match by construction
+        "sketch_hdr_lengths": r"""
+            WITH t AS (
+              SELECT lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                      END)::BIGINT AS v
+              FROM documents),
+            b AS (
+              SELECT lang,
+                     ((length(bin(v)) - 1) * 16
+                      + (v >> greatest(0, length(bin(v)) - 4)))::BIGINT
+                       AS bucket
+              FROM t),
+            h AS (SELECT lang, bucket, count(*) AS c
+                  FROM b GROUP BY lang, bucket),
+            cum AS (
+              SELECT lang, bucket,
+                     ((bucket % 16) << greatest(0, (bucket // 16) - 3))
+                       ::BIGINT AS lo,
+                     sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cm,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM h)
+            SELECT lang, max(n)::BIGINT AS n_rows,
+                   min(CASE WHEN cm >= ceil(0.5 * n) THEN lo END)::BIGINT
+                     AS p50,
+                   min(CASE WHEN cm >= ceil(0.9 * n) THEN lo END)::BIGINT
+                     AS p90,
+                   min(CASE WHEN cm >= ceil(0.99 * n) THEN lo END)::BIGINT
+                     AS p99
+            FROM cum GROUP BY lang
+        """,
         "stats_length_quantiles": r"""
             WITH t AS (
               SELECT lang,

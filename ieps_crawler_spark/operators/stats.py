@@ -45,6 +45,12 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "disc_quantiles",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
+    "hdr_registers",
+    "hdr_merge",
+    "hdr_estimate",
 ]
 
 # 4-bit patterns per hex digit, applied via translate-to-placeholder +
@@ -287,4 +293,94 @@ def cms_estimate(
     )
     return hit.groupBy("_k").agg(F.min("cnt").alias("est")).select(
         F.col("_k").alias(col), "est"
+    )
+
+
+# -------------------------------------------- HDR-style quantile sketch
+
+def hdr_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Mergeable quantile sketch — the 10^12-row path where exact
+    disc_quantiles' distinct-value histogram is itself too wide. Each
+    non-negative integer value lands in a log-scaled bucket keyed by
+    (bit_length, top 1+sub_bits significant bits): ≤ 64·2^(sub_bits+1)
+    buckets TOTAL per group regardless of value cardinality, relative
+    bucket width ≤ 2^-sub_bits (HdrHistogram / DDSketch's collapsing
+    scheme in exact integer arithmetic). Registers SUM-merge across
+    waves/sources like the HLL and CMS sketches.
+
+    Determinism contract: bucket = f(bit pattern) only — no floats, no
+    logs — so a SQL replay (bin()/shifts) hash-matches, unlike
+    approx_percentile whose KLL/GK state is engine-private.
+
+    Scale posture: ONE hash aggregate with map-side combine onto the
+    fixed bucket space; skew-proof for the same reason the CMS is (hot
+    values collapse into one cell per task before the shuffle).
+    """
+    v = F.col(value_col)
+    bl = F.length(F.bin(v))
+    shift = (F.greatest(F.lit(0), bl - F.lit(1 + sub_bits))).cast("int")
+    q = F.expr(
+        f"shiftright({value_col}, cast(greatest(0, length(bin({value_col}))"
+        f" - {1 + sub_bits}) as int))"
+    )
+    bucket = ((bl - F.lit(1)).cast("long") * F.lit(1 << (sub_bits + 1)) + q)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables built with identical sub_bits: per-bucket
+    SUM — exactly the sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*gcols).agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Per-group quantile estimates from the register table: for each p
+    the LOWER BOUND of the bucket holding the p-th value — always
+    ≤ the true percentile_disc value, within a 2^-sub_bits relative
+    band (asserted in tests). Same cumulative-window walk as
+    disc_quantiles but over ≤ 64·2^(sub_bits+1) buckets per group."""
+    m = 1 << (sub_bits + 1)
+    msb = (F.col("bucket") / F.lit(m)).cast("long")
+    q = F.col("bucket") % F.lit(m)
+    shift = F.greatest(F.lit(0), msb - F.lit(sub_bits)).cast("int")
+    lower = F.expr(
+        f"shiftleft(bucket % {m}, cast(greatest(0, bucket div {m}"
+        f" - {sub_bits}) as int))"
+    )
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        *group_cols,
+        "bucket",
+        lower.alias("_lower"),
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(wg).alias("_n"),
+    )
+    aggs = []
+    for p in ps:
+        thr = F.ceil(F.lit(p) * F.col("_n"))
+        name = f"p{str(p)[2:].ljust(2, '0')}"
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= thr, F.col("_lower"))).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n_rows"), *aggs
     )

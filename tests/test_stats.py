@@ -211,3 +211,89 @@ def test_cms_merge_equals_concat_build(spark):
         for r in cms_sketch(dall, "k", width=64).collect()
     }
     assert merged == direct
+
+
+# ------------------------------------------------- HDR quantile sketch
+
+def _py_hdr_bucket(v, s=3):
+    bl = max(1, v.bit_length())  # bin(0) = '0' -> length 1
+    shift = max(0, bl - (1 + s))
+    return (bl - 1) * (1 << (s + 1)) + (v >> shift)
+
+
+def _py_hdr_lower(bucket, s=3):
+    m = 1 << (s + 1)
+    msb, q = divmod(bucket, m)
+    return q << max(0, msb - s)
+
+
+def test_hdr_registers_python_oracle(spark):
+    from collections import Counter
+
+    from ieps_crawler_spark.operators.stats import hdr_registers
+
+    vals = [0, 1, 2, 3, 7, 8, 15, 16, 17, 100, 1000, 12345, 2**40 + 5]
+    vals = vals * 3 + list(range(50))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in hdr_registers(df, ["g"], "v").collect()
+    }
+    exp = Counter(_py_hdr_bucket(v) for v in vals)
+    assert got == dict(exp)
+
+
+def test_hdr_bucket_order_matches_value_order(spark):
+    # bucket ids must be monotone with value ranges — the quantile walk
+    # depends on it
+    prev_b, prev_v = -1, -1
+    for v in sorted(set(list(range(200)) + [2**k + d for k in range(5, 50, 3) for d in (-1, 0, 1)])):
+        b = _py_hdr_bucket(v)
+        assert b >= prev_b, (v, b, prev_b)
+        if b == prev_b:
+            assert _py_hdr_lower(b) <= v
+        prev_b, prev_v = b, v
+
+
+def test_hdr_estimate_within_relative_band(spark):
+    import math
+    import random
+
+    from ieps_crawler_spark.operators.stats import hdr_estimate, hdr_registers
+
+    rng = random.Random(23)
+    rows = [("a", int(math.exp(rng.uniform(0, 12)))) for _ in range(3000)]
+    rows += [("b", rng.randrange(0, 50)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    regs = hdr_registers(df, ["g"], "v")
+    est = {r["g"]: r for r in hdr_estimate(regs, ["g"]).collect()}
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            exact = vals[math.ceil(p * len(vals)) - 1]
+            lo = est[g][col]
+            assert lo <= exact, (g, p, lo, exact)
+            # exact value lies inside the bucket: lower bound within
+            # 2^-sub_bits relative band (+1 covers the tiny-value regime)
+            assert exact <= lo + max(1, lo >> 3), (g, p, lo, exact)
+
+
+def test_hdr_merge_equals_concat_build(spark):
+    from ieps_crawler_spark.operators.stats import hdr_merge, hdr_registers
+
+    a = [("g", v) for v in range(0, 300, 7)]
+    b = [("g", v * 13) for v in range(100)]
+    da = spark.createDataFrame(a, "g string, v long")
+    db = spark.createDataFrame(b, "g string, v long")
+    dall = spark.createDataFrame(a + b, "g string, v long")
+    merged = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hdr_merge(
+            hdr_registers(da, ["g"], "v"), hdr_registers(db, ["g"], "v")
+        ).collect()
+    }
+    direct = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hdr_registers(dall, ["g"], "v").collect()
+    }
+    assert merged == direct
