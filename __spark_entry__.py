@@ -1129,6 +1129,15 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_graph_hits(spark, sf_dir):
+    """Un-normalized fixed-iteration HITS hubs/authorities — exact
+    integer scores (normalization is a positive per-step scalar, so the
+    ranking is Kleinberg's), unrolled joins in the SQL twin."""
+    from ieps_crawler_spark.operators.graph import hits
+
+    return hits(_toy_edges(spark, sf_dir), iterations=2)
+
+
 def q_graph_components(spark, sf_dir):
     """O29 — connected components via min-label propagation + pointer
     jumping; DuckDB oracle = recursive-CTE transitive closure + min."""
@@ -1457,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_per_source": q_sample_per_source,
         "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
@@ -2971,6 +2981,26 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rn
               FROM documents)
             SELECT doc_id, source, lang FROM ranked WHERE rn <= 3
+        """,
+        "graph_hits": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+              FROM lineitem),
+            nodes AS (SELECT s AS node_id FROM e
+                      UNION SELECT d FROM e),
+            a1 AS (SELECT d, count(*)::BIGINT AS auth FROM e GROUP BY d),
+            h1 AS (SELECT e.s, sum(a1.auth)::BIGINT AS hub
+                   FROM e JOIN a1 USING (d) GROUP BY e.s),
+            a2 AS (SELECT e.d, sum(h1.hub)::BIGINT AS auth
+                   FROM e JOIN h1 USING (s) GROUP BY e.d),
+            h2 AS (SELECT e.s, sum(a2.auth)::BIGINT AS hub
+                   FROM e JOIN a2 USING (d) GROUP BY e.s)
+            SELECT n.node_id,
+                   coalesce(h2.hub, 0)::BIGINT AS hub,
+                   coalesce(a2.auth, 0)::BIGINT AS auth
+            FROM nodes n
+            LEFT JOIN h2 ON n.node_id = h2.s
+            LEFT JOIN a2 ON n.node_id = a2.d
         """,
         "graph_pagerank": r"""
             WITH e AS (

@@ -210,3 +210,54 @@ def anchor_text_stats(
             "anchors_sample",
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "from_id",
+    dst: str = "to_id",
+) -> DataFrame:
+    """Fixed-iteration UN-normalized HITS (Kleinberg hubs/authorities):
+    h0 = 1; a_{k+1}(v) = Σ_{u→v} h_k(u); h_{k+1}(u) = Σ_{u→v} a_{k+1}(v).
+    Skipping the per-step normalization keeps every score an exact
+    integer — the RANKING is identical (normalization is a positive
+    scalar per step), the scores are hash-stable across engines, and the
+    SQL oracle unrolls to straight joins/aggregates. Returns
+    (node_id, hub, auth) with 0 for nodes on no qualifying side.
+
+    Scale posture: per iteration two shuffles (join scores onto edges +
+    groupBy the other endpoint) over distinct edges — the same cost
+    envelope as one PageRank step; fixed small iteration count, no
+    driver-side convergence reads.
+    """
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node_id"))
+        .unionByName(e.select(F.col(dst).alias("node_id")))
+        .distinct()
+    )
+    h = nodes.select("node_id", F.lit(1).cast("long").alias("hub"))
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h.withColumnRenamed("node_id", src), src)
+            .groupBy(dst)
+            .agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed(dst, "node_id")
+        )
+        h = (
+            e.join(a.withColumnRenamed("node_id", dst), dst)
+            .groupBy(src)
+            .agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed(src, "node_id")
+        )
+    return (
+        nodes.join(h, "node_id", "left")
+        .join(a, "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -93,3 +93,60 @@ def test_components_release_caches(spark):
     out = connected_components(df)
     out.count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ------------------------------------------------------------------ HITS
+
+def _py_hits(edges, iters=2):
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    nodes = {u for u, _ in e} | {v for _, v in e}
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(iters):
+        a = defaultdict(int)
+        for u, v in e:
+            a[v] += h.get(u, 0)
+        h2 = defaultdict(int)
+        for u, v in e:
+            h2[u] += a[v]
+        h = h2
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def test_hits_python_oracle(spark):
+    import random
+
+    from ieps_crawler_spark.operators.graph import hits
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+    got = {r["node_id"]: (r["hub"], r["auth"]) for r in hits(df).collect()}
+    assert got == _py_hits(edges)
+
+
+def test_hits_hub_authority_shape(spark):
+    from ieps_crawler_spark.operators.graph import hits
+
+    # star: 0 links to 1..5 (pure hub); 6..8 link to 9 (pure authority)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 9) for i in (6, 7, 8)]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+    got = {r["node_id"]: (r["hub"], r["auth"]) for r in hits(df).collect()}
+    assert got[0][0] > 0 and got[0][1] == 0  # hub only
+    assert got[9][1] > 0 and got[9][0] == 0  # authority only
+    assert got == _py_hits(edges)
+
+
+def test_hits_partition_independent(spark):
+    import random
+
+    from ieps_crawler_spark.operators.graph import hits
+
+    rng = random.Random(37)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+    a = sorted(map(tuple, hits(df).collect()))
+    b = sorted(map(tuple, hits(df.repartition(7)).collect()))
+    assert a == b
