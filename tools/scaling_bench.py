@@ -6,7 +6,8 @@ local[N] parallelism levels (no real cluster available here).
 
 Runs `bench.py --only crawl` as a subprocess per level (fresh JVM each,
 so levels can't share JIT/page-cache state), best-of-`--repeat` per
-level, and writes the table to BENCH.md.
+level, and writes the table to BENCH_SCALING.md (raw material
+for the curated BENCH.md — never overwrites it).
 
 Usage: python tools/scaling_bench.py [--levels 2,8,32] [--repeat 2]
        [--replicate 1000] [--seeds 1000000] [--waves 2] [--hosts 256]
@@ -92,9 +93,9 @@ def main() -> None:
         "per-level numbers are best-of-N for stability.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(lines))
-    print("wrote BENCH.md")
+    print("wrote BENCH_SCALING.md")
 
 
 if __name__ == "__main__":
