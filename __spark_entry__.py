@@ -1371,6 +1371,18 @@ def q_sketch_hdr_lengths(spark, sf_dir):
     return hdr_estimate(regs, ["lang"])
 
 
+def q_stats_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis (operators/stats.skew_report): per-key
+    row-count max/median/p99 + deterministic top-5 heaviest keys for
+    lineitem.l_suppkey — the pre-shuffle health check that decides
+    plain shuffle vs AQE skew-join vs salting."""
+    from ieps_crawler_spark.operators.stats import skew_report
+
+    return skew_report(
+        _read(spark, sf_dir, "lineitem"), "l_suppkey", top_k=5
+    )
+
+
 def q_sample_per_source(spark, sf_dir):
     """Deterministic 3-per-source document sample (smallest md5(key)
     wins) — the stable eyeball sample a curation loop re-runs every
@@ -1462,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_users": q_sketch_cms_users,
         "sketch_hdr_lengths": q_sketch_hdr_lengths,
         "stats_length_quantiles": q_stats_length_quantiles,
+        "stats_skew_report": q_stats_skew_report,
         "sample_hash_split": q_sample_hash_split,
         "sample_deterministic": q_sample_deterministic,
         "sample_per_source": q_sample_per_source,
@@ -2964,6 +2977,35 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN cm >= ceil(0.99 * n) THEN v END)::BIGINT
                      AS p99
             FROM cum GROUP BY lang
+        """,
+        "stats_skew_report": r"""
+            WITH pk AS (
+              SELECT l_suppkey::VARCHAR AS k, count(*)::BIGINT AS c
+              FROM lineitem GROUP BY l_suppkey),
+            h AS (SELECT c, count(*) AS cc FROM pk GROUP BY c),
+            cum AS (
+              SELECT c, cc,
+                     sum(cc) OVER (ORDER BY c) AS cm,
+                     sum(cc) OVER () AS nk
+              FROM h),
+            stats AS (
+              SELECT max(nk)::BIGINT AS n_keys,
+                     sum(c * cc)::BIGINT AS n_rows,
+                     max(c)::BIGINT AS max_rows,
+                     min(CASE WHEN cm >= ceil(0.5 * nk) THEN c END)::BIGINT
+                       AS p50_rows,
+                     min(CASE WHEN cm >= ceil(0.99 * nk) THEN c END)::BIGINT
+                       AS p99_rows
+              FROM cum),
+            top5 AS (SELECT k, c FROM pk
+                     ORDER BY c DESC, k ASC LIMIT 5),
+            tk AS (
+              SELECT string_agg(k || '=' || c, ','
+                                ORDER BY c DESC, k ASC) AS top_keys
+              FROM top5)
+            SELECT s.n_keys, s.n_rows, s.max_rows, s.p50_rows,
+                   s.p99_rows, tk.top_keys
+            FROM stats s, tk
         """,
         "pipeline_mix_sources": _mix_sources_oracle_sql(),
         "sample_hash_split": _hash_split_oracle_sql(),

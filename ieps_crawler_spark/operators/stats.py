@@ -51,6 +51,7 @@ __all__ = [
     "hdr_registers",
     "hdr_merge",
     "hdr_estimate",
+    "skew_report",
 ]
 
 # 4-bit patterns per hex digit, applied via translate-to-placeholder +
@@ -383,4 +384,94 @@ def hdr_estimate(
         )
     return cum.groupBy(*group_cols).agg(
         F.max("_n").cast("long").alias("n_rows"), *aggs
+    )
+
+
+# ---------------------------------------------------------- skew report
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the question to answer
+    BEFORE shuffling 100 TB on a key: how heavy is the heaviest key
+    relative to the median? Returns ONE row:
+
+      n_keys, n_rows, max_rows, p50_rows, p99_rows   (exact integers)
+      top_keys                                        (the top_k
+          heaviest keys as 'key=count' strings, count desc, key asc —
+          deterministic ties)
+
+    max/p50/p99 per-key row counts decide between a plain shuffle
+    (max ≈ p50), AQE skew-join (max ≫ p99 but few heavy keys), or
+    salting (heavy keys dominate); the engine's politeness top-k made
+    exactly this call with a two-phase salted window.
+
+    Scale posture: one hash aggregate to the per-key histogram (the
+    only pass over the data), then quantiles over the DISTINCT count
+    values (disc_quantiles' histogram trick again) and a
+    TakeOrderedAndProject for the top keys — nothing after the first
+    aggregate touches more than n_keys rows.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_rows"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    top = (
+        per_key.select(key_str.alias("_k"), "_rows")
+        .orderBy(F.col("_rows").desc(), F.col("_k").asc())
+        .limit(top_k)
+        .select(
+            F.concat(F.col("_k"), F.lit("="), F.col("_rows").cast("string"))
+            .alias("_entry"),
+            "_rows",
+            "_k",
+        )
+    )
+    top_agg = top.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("_rows")).alias("n"),
+                                            F.col("_k").alias("k"),
+                                            F.col("_entry").alias("e")))
+                ),
+                lambda s: s["e"],
+            ),
+            ",",
+        ).alias("top_keys")
+    )
+    # count-of-counts histogram: everything after this touches only the
+    # DISTINCT per-key row-count values (tiny), and the whole stats row
+    # comes out of ONE aggregate — no single-row joins (which Catalyst
+    # constant-folds into the cartesian shapes our own audit forbids)
+    hist2 = per_key.groupBy("_rows").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_rows").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist2.select(
+        "_rows",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_nk"),
+    )
+    stats = cum.agg(
+        F.max("_nk").cast("long").alias("n_keys"),
+        F.sum(F.col("_rows") * F.col("_c")).cast("long").alias("n_rows"),
+        F.max("_rows").cast("long").alias("max_rows"),
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(0.5 * F.col("_nk")), F.col("_rows"))
+        ).cast("long").alias("p50_rows"),
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(0.99 * F.col("_nk")), F.col("_rows"))
+        ).cast("long").alias("p99_rows"),
+    )
+    # combine the two single-row frames without a join: union with
+    # missing columns null-filled, then first(ignorenulls) per column
+    both = stats.unionByName(top_agg, allowMissingColumns=True)
+    return both.agg(
+        *[
+            F.first(c, ignorenulls=True).alias(c)
+            for c in ("n_keys", "n_rows", "max_rows", "p50_rows",
+                      "p99_rows", "top_keys")
+        ]
     )

@@ -203,6 +203,7 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "events_range_join",
         "crawl_adaptive_delay",
         "sketch_hdr_lengths",
+        "stats_skew_report",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"

@@ -297,3 +297,65 @@ def test_hdr_merge_equals_concat_build(spark):
         for r in hdr_registers(dall, ["g"], "v").collect()
     }
     assert merged == direct
+
+
+# ------------------------------------------------------------ skew_report
+
+def test_skew_report_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from ieps_crawler_spark.operators.stats import skew_report
+
+    rows = (
+        [("hot", i) for i in range(500)]
+        + [("warm", i) for i in range(60)]
+        + [(f"k{j}", i) for j in range(20) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "key string, x long")
+    r = skew_report(df, "key", top_k=3).collect()[0]
+    counts = Counter(k for k, _ in rows)
+    assert r["n_keys"] == len(counts)
+    assert r["n_rows"] == len(rows)
+    assert r["max_rows"] == 500
+    vals = sorted(counts.values())
+    assert r["p50_rows"] == vals[math.ceil(0.5 * len(vals)) - 1]
+    assert r["p99_rows"] == vals[math.ceil(0.99 * len(vals)) - 1]
+    assert r["top_keys"] == "hot=500,warm=60,k0=5"  # ties by key asc
+
+
+def test_skew_report_partition_independent_and_plan(spark):
+    from ieps_crawler_spark.operators.stats import skew_report
+    from ieps_crawler_spark.plans.audit import assert_scale_safe
+
+    rows = [(f"k{i % 13}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "key string, x long")
+    a = skew_report(df, "key").collect()
+    b = skew_report(df.repartition(11), "key").collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    assert_scale_safe(skew_report(df, "key"))
+
+
+def test_plan_audit_api(spark):
+    import pytest
+
+    from ieps_crawler_spark.plans.audit import (
+        PlanViolation,
+        assert_scale_safe,
+        plan_counts,
+    )
+
+    a = spark.createDataFrame([(1, 2)], "x long, y long")
+    b = spark.createDataFrame([(1, 9)], "x long, z long")
+    good = a.join(b, "x")
+    c = plan_counts(good)
+    assert c["nested_loop_joins"] == 0 and c["python_stages"] == 0
+    assert_scale_safe(good)
+    # a non-equi join plans as a nested loop -> flagged
+    bad = a.join(b, a.y < b.z)
+    with pytest.raises(PlanViolation):
+        assert_scale_safe(bad)
+    # ...unless explicitly whitelisted
+    assert_scale_safe(
+        bad, allow=("BroadcastNestedLoopJoin", "CartesianProduct")
+    )
