@@ -438,6 +438,24 @@ def q_crawl_adaptive_delay(spark, sf_dir):
     return adaptive_delays(fetched)
 
 
+def q_crawl_trap_hosts(spark, sf_dir):
+    """Crawler-trap detection (operators/politeness.detect_traps): flag
+    hosts whose URL space grows while content does not — per-host
+    distinct-content vs fetched-URL counts with an exact-permille dup
+    ratio. Hosts derive from doc_id, content identity from md5(text)
+    collapsed to 12 hex chars so synthetic dup structure appears."""
+    from ieps_crawler_spark.operators.politeness import detect_traps
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(17)).cast("string"))
+        .alias("host"),
+        F.substring(F.md5(F.substring("text", 1, 40)), 1, 12).alias(
+            "content_hash"
+        ),
+    )
+    return detect_traps(docs, min_urls=20, dup_permille=300)
+
+
 def q_crawl_extract_links(spark, sf_dir):
     """The quirk-laden link extractor (O11, ExtractFromHTML.scala
     transcription) run for real inside the plan: HTML is constructed
@@ -1434,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_assets": q_crawl_assets,
         "crawl_load_analytics": q_crawl_load_analytics,
         "crawl_adaptive_delay": q_crawl_adaptive_delay,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_refresh_topk": q_crawl_refresh_topk,
@@ -2228,6 +2247,25 @@ def oracle_sql() -> dict[str, str]:
                    max(load_time_ms) AS max_load_ms,
                    round(avg(wait_ms), 4) AS avg_wait_ms
             FROM ranked GROUP BY host
+        """,
+        "crawl_trap_hosts": r"""
+            WITH f AS (
+              SELECT 'h' || (doc_id % 17) AS host,
+                     substr(md5(substr(text, 1, 40)), 1, 12)
+                       AS content_hash
+              FROM documents),
+            a AS (
+              SELECT host,
+                     count(*)::BIGINT AS n_urls,
+                     count(DISTINCT content_hash)::BIGINT AS n_distinct
+              FROM f GROUP BY host)
+            SELECT host, n_urls, n_distinct,
+                   ((n_urls - n_distinct) * 1000 // n_urls)::BIGINT
+                     AS dup_permille,
+                   (n_urls >= 20 AND
+                    (n_urls - n_distinct) * 1000 // n_urls >= 300)
+                     AS is_trap
+            FROM a
         """,
         "crawl_adaptive_delay": r"""
             WITH f AS (

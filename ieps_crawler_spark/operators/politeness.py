@@ -257,3 +257,41 @@ def adaptive_delays(
             ),
         ).alias("delay_ms"),
     )
+
+
+def detect_traps(
+    fetches: DataFrame,
+    host_col: str = "host",
+    hash_col: str = "content_hash",
+    min_urls: int = 20,
+    dup_permille: int = 500,
+) -> DataFrame:
+    """Crawler-trap detection: flag hosts whose URL space keeps growing
+    while their CONTENT does not — calendar pages, session-id URLs,
+    faceted-search explosions. Signal: per host, distinct content
+    hashes vs fetched URLs; a host with ≥ min_urls fetches and a
+    duplicate ratio ≥ dup_permille/1000 gets ``is_trap`` and should have
+    its politeness budget cut (feed the flag into select_budget's
+    priority or drop the host from the frontier).
+
+    The reference marks individual DUPLICATE pages (CrawlerDIO.scala:
+    73-86) but keeps crawling the host; this is the host-level feedback
+    loop on top. All-integer output (dup ratio in exact permille).
+
+    Scale posture: one hash aggregate per host with a count_distinct
+    expand on the hash — both map-side combinable; no window, no join.
+    """
+    agg = fetches.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct(F.col(hash_col)).alias("n_distinct"),
+    )
+    dup_pm = F.expr("((n_urls - n_distinct) * 1000) div n_urls")
+    return agg.select(
+        host_col,
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        dup_pm.cast("long").alias("dup_permille"),
+        (
+            (F.col("n_urls") >= min_urls) & (dup_pm >= dup_permille)
+        ).alias("is_trap"),
+    )

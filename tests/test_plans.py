@@ -204,6 +204,7 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "crawl_adaptive_delay",
         "sketch_hdr_lengths",
         "stats_skew_report",
+        "crawl_trap_hosts",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"

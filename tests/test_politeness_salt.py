@@ -110,3 +110,38 @@ def test_adaptive_delays_partition_independent(spark):
     a = sorted(map(tuple, adaptive_delays(df).collect()))
     b = sorted(map(tuple, adaptive_delays(df.repartition(9)).collect()))
     assert a == b
+
+
+# --------------------------------------------------------- detect_traps
+
+def test_detect_traps_python_oracle(spark):
+    from ieps_crawler_spark.operators.politeness import detect_traps
+
+    rows = (
+        # trap: 40 urls, only 4 distinct contents (900 permille dup)
+        [("trap.si", f"c{i % 4}") for i in range(40)]
+        # healthy: 40 urls, 40 distinct
+        + [("ok.si", f"u{i}") for i in range(40)]
+        # dup-heavy but tiny: below min_urls, never flagged
+        + [("tiny.si", "same") for _ in range(5)]
+    )
+    df = spark.createDataFrame(rows, "host string, content_hash string")
+    got = {r["host"]: r for r in detect_traps(df).collect()}
+    assert got["trap.si"]["is_trap"] is True
+    assert got["trap.si"]["n_urls"] == 40
+    assert got["trap.si"]["n_distinct"] == 4
+    assert got["trap.si"]["dup_permille"] == (40 - 4) * 1000 // 40
+    assert got["ok.si"]["is_trap"] is False
+    assert got["ok.si"]["dup_permille"] == 0
+    assert got["tiny.si"]["is_trap"] is False  # min_urls gate
+    assert got["tiny.si"]["dup_permille"] == 800
+
+
+def test_detect_traps_partition_independent(spark):
+    from ieps_crawler_spark.operators.politeness import detect_traps
+
+    rows = [(f"h{i % 7}", f"c{i % 11}") for i in range(300)]
+    df = spark.createDataFrame(rows, "host string, content_hash string")
+    a = sorted(map(tuple, detect_traps(df).collect()))
+    b = sorted(map(tuple, detect_traps(df.repartition(9)).collect()))
+    assert a == b
