@@ -739,6 +739,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric Broder containment on candidate pairs — the
+    quote/subset detector (short doc fully inside a long one has low
+    Jaccard but containment 1000 permille). Exact integer output."""
+    from ieps_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_containment_pairs(docs, pairs, "text", "doc_id", 3)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding cosine near-dup pairs (threshold 0.35, exact all-pairs)."""
     from ieps_crawler_spark.operators.dedup import embedding_neardup
@@ -1468,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_remove_spans": q_dedup_remove_spans,
+        "dedup_containment": q_dedup_containment,
         "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -2454,6 +2468,29 @@ def oracle_sql() -> dict[str, str]:
                      / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0),
                      6) AS jaccard
             FROM pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id
+        """,
+        "dedup_containment": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1)),
+                       i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')
+                     )) AS grams
+              FROM documents),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              WHERE doc_id % 5 = 0)
+            SELECT id_a, id_b,
+                   len(a.grams)::BIGINT AS n_grams_a,
+                   len(b.grams)::BIGINT AS n_grams_b,
+                   len(list_intersect(a.grams, b.grams))::BIGINT
+                     AS n_common,
+                   (len(list_intersect(a.grams, b.grams))::BIGINT * 1000
+                    // len(a.grams))::BIGINT AS contain_a_pm,
+                   (len(list_intersect(a.grams, b.grams))::BIGINT * 1000
+                    // len(b.grams))::BIGINT AS contain_b_pm
+            FROM pairs JOIN g a ON id_a = a.doc_id
+                       JOIN g b ON id_b = b.doc_id
         """,
         "dedup_embedding_cosine": r"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -859,3 +859,57 @@ def remove_duplicate_spans(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric Broder containment for candidate pairs:
+    C(a,b) = |grams(a) ∩ grams(b)| / |grams(a)| — the quote/subset
+    detector Jaccard misses (a short doc fully copied into a long one
+    has LOW Jaccard but containment 1.0; the curation call is "drop the
+    contained doc", not "near-dup pair"). Returns both directions in
+    exact permille plus the raw sizes, all integers: hash-stable.
+
+    Scale posture: identical to ngram_jaccard_pairs — gram sets are
+    built once per doc (JVM transform/slice, distinct'ed) and joined to
+    the PAIRS list only; cost is O(candidate pairs), never all-pairs.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("words"),
+    )
+    grams = grams.withColumn(
+        "grams",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+                f"i -> array_join(slice(words, i, {n}), ' '))"
+            )
+        ),
+    ).select("id", "grams")
+    a = grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a")
+    b = grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    na = F.size("grams_a").cast("long")
+    nb = F.size("grams_b").cast("long")
+    return joined.select(
+        "id_a",
+        "id_b",
+        na.alias("n_grams_a"),
+        nb.alias("n_grams_b"),
+        inter.alias("n_common"),
+        F.expr(
+            f"(cast(size(array_intersect(grams_a, grams_b)) as bigint)"
+            f" * 1000) div size(grams_a)"
+        ).alias("contain_a_pm"),
+        F.expr(
+            f"(cast(size(array_intersect(grams_a, grams_b)) as bigint)"
+            f" * 1000) div size(grams_b)"
+        ).alias("contain_b_pm"),
+    )

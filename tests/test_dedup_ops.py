@@ -323,3 +323,79 @@ def test_neardup_clusters_one_kept_row_per_cluster(spark, emb):
     assert agg.filter(F.col("n_canon") != 1).count() == 0
     assert res.count() == emb.count()
     assert res.select("vec_id").distinct().count() == emb.count()
+
+
+# ------------------------------------------------ ngram containment
+
+def test_containment_asymmetric_quote_case(spark):
+    from ieps_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(docs, pairs).collect()
+    }
+    r12 = got[(1, 2)]
+    # the short doc is FULLY contained in the long one...
+    assert r12["contain_a_pm"] == 1000
+    # ...but the long one is mostly not contained in the short
+    assert r12["contain_b_pm"] < 200
+    # and its Jaccard would be low — exactly the case containment catches
+    assert r12["n_common"] == r12["n_grams_a"]
+    r13 = got[(1, 3)]
+    assert r13["n_common"] == 0
+    assert r13["contain_a_pm"] == 0 and r13["contain_b_pm"] == 0
+
+
+def test_containment_python_oracle_and_partitions(spark):
+    import random
+
+    from ieps_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(12)
+    ]
+    pairs = [(a, b) for a in range(12) for b in range(12) if a < b][:30]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def py_grams(t, n=3):
+        ws = t.lower().split()
+        return {
+            " ".join(ws[i : i + n])
+            for i in range(max(len(ws) - n + 1, 1))
+            if ws[i : i + n]
+        }
+
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_grams_a"], r["n_grams_b"], r["n_common"],
+            r["contain_a_pm"], r["contain_b_pm"],
+        )
+        for r in ngram_containment_pairs(ddf, pdf).collect()
+    }
+    for a, b in pairs:
+        ga, gb = py_grams(docs[a][1]), py_grams(docs[b][1])
+        inter = len(ga & gb)
+        assert got[(a, b)] == (
+            len(ga), len(gb), inter,
+            inter * 1000 // len(ga), inter * 1000 // len(gb),
+        ), (a, b)
+    again = {
+        (r["id_a"], r["id_b"]): (
+            r["n_grams_a"], r["n_grams_b"], r["n_common"],
+            r["contain_a_pm"], r["contain_b_pm"],
+        )
+        for r in ngram_containment_pairs(
+            ddf.repartition(7), pdf.repartition(3)
+        ).collect()
+    }
+    assert got == again

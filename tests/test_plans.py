@@ -205,6 +205,7 @@ def test_stats_family_pure_jvm_plans(spark, sf_dir):
         "sketch_hdr_lengths",
         "stats_skew_report",
         "crawl_trap_hosts",
+        "dedup_containment",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
