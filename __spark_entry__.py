@@ -2398,7 +2398,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY url
                           ORDER BY cnt DESC, anchor DESC) AS rn
               FROM per)
-            SELECT url, sum(cnt) AS n_refs,
+            SELECT url, sum(cnt)::BIGINT AS n_refs,
                    count(*) AS n_unique_anchors,
                    max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
                    array_to_string(list_slice(list(anchor ORDER BY anchor),
@@ -2924,13 +2924,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT w.doc_id, coalesce(f.cnt, 0) AS cnt
               FROM w LEFT JOIN freq f USING (word)),
             agg AS (
-              SELECT doc_id, count(*) AS n_tokens, sum(cnt) AS sum_freq,
-                     sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_oov
+              SELECT doc_id, count(*) AS n_tokens, sum(cnt)::BIGINT AS sum_freq,
+                     sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov
               FROM scored GROUP BY doc_id)
             SELECT d.doc_id,
-                   coalesce(a.n_tokens, 0) AS n_tokens,
-                   coalesce(a.sum_freq, 0) AS sum_freq,
-                   coalesce(a.n_oov, 0) AS n_oov
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.sum_freq, 0)::BIGINT AS sum_freq,
+                   coalesce(a.n_oov, 0)::BIGINT AS n_oov
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "pipeline_decontaminate": r"""
@@ -2966,8 +2966,8 @@ def oracle_sql() -> dict[str, str]:
                       THEN 1 ELSE 0 END) AS gates
               FROM documents)
             SELECT source, count(*) AS n_docs,
-                   sum(toks) AS total_tokens,
-                   sum(gates) AS sum_gates,
+                   sum(toks)::BIGINT AS total_tokens,
+                   sum(gates)::BIGINT AS sum_gates,
                    round(sum(gates) / (3.0 * count(*)), 4) AS avg_quality
             FROM t GROUP BY source
         """,

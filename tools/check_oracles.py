@@ -41,6 +41,24 @@ def norm_rows(cols, rows):
     return [cols[i] for i in idx], out
 
 
+def type_sig(cols, rows):
+    """Per-column Python type of the first non-None value, sorted by
+    column name.  The driver's value hash is type/format-sensitive
+    (r2 post-mortem: DuckDB sum(BIGINT) -> HUGEINT/Decimal hashed
+    differently from Spark's bigint despite equal values), so the local
+    gate must flag int-vs-Decimal-vs-float drift, not just str() drift."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    sig = {}
+    for i in idx:
+        t = None
+        for r in rows:
+            if r[i] is not None:
+                t = type(r[i]).__name__
+                break
+        sig[cols[i]] = t
+    return sig
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -87,6 +105,22 @@ def main():
             continue
         sc, sn = norm_rows(scols, srows)
         dc, dn = norm_rows(dcols, drows)
+        ssig, dsig = type_sig(scols, srows), type_sig(dcols, drows)
+        tdiff = {
+            c: (ssig.get(c), dsig.get(c))
+            for c in ssig
+            if c in dsig
+            and ssig[c] is not None
+            and dsig[c] is not None
+            and ssig[c] != dsig[c]
+            # datetime/date naming drift between engines is benign;
+            # int-vs-Decimal-vs-float is the driver-hash killer.
+            and {ssig[c], dsig[c]} & {"int", "float", "Decimal"}
+        }
+        if tdiff:
+            failures.append(name)
+            print(f"FAIL  {name}: value TYPES differ (driver-hash risk): {tdiff}")
+            continue
         if sc != dc:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
