@@ -244,15 +244,55 @@ def main() -> None:
             continue
         results[name] = _time_noop(spark, fn, sf_dir)
 
+    # Two-tier output (r2 post-mortem: the driver tails the LAST line and
+    # one giant line with per-wave arrays outran its capture -> parsed:null).
+    # Verbose detail goes to a file + an EARLY stdout line; the FINAL line
+    # is a compact summary the driver can always parse.
+    detail = {"queries": results, "sf": sf, **extras}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+
+    # Final line budget: the driver stores only the last 2000 chars of
+    # stdout (measured from BENCH_r02.json), so the summary must fit or
+    # the round's official perf record is lost. Headline crawl config
+    # stays full (minus per-wave arrays); alternate configs collapse to
+    # one throughput number; the queries dict keeps the slowest entries
+    # that fit the remaining bytes (full set is in BENCH_DETAIL.json and
+    # the detail line above).
     out = {
         "metric": "urls_fetched_deduped_per_sec",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
-        "queries": results,
         "sf": sf,
-        **extras,
+        "cpus": int(cpus),
+        "n_queries": len(results),
     }
-    print(json.dumps(out))
+    if "crawl" in extras:
+        out["crawl"] = {k: v for k, v in extras["crawl"].items()
+                        if k != "per_wave"}
+        out["urls_per_sec"] = extras["crawl"]["urls_per_sec"]
+    for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped"):
+        if cfg in extras:
+            out[f"ups_{cfg.split('_', 1)[1]}"] = extras[cfg]["urls_per_sec"]
+    budget = 1900 - len(json.dumps(out, separators=(",", ":")))
+    picked: dict[str, float] = {}
+    used = 2  # braces
+    for name in sorted(results, key=lambda n: -results[n]):
+        cost = len(json.dumps({name: results[name]},
+                              separators=(",", ":"))) - 1
+        if used + cost > budget:
+            break
+        picked[name] = results[name]
+        used += cost
+    out["queries"] = {n: picked[n] for n in results if n in picked}
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 
