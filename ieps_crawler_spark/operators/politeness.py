@@ -51,6 +51,7 @@ def select_budget(
     wave_seconds: int = 60,
     salt_shards: int = 0,
     max_urls: int | None = None,
+    broadcast_delays: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (batch, leftover). batch carries fetch_order (per-host rank),
     delay_ms and sched_ts; leftover is the untouched pending remainder.
@@ -79,11 +80,20 @@ def select_budget(
     exact-ranks only the ≤ budget×shards survivors per host, so no
     single task ever sorts a hot host's full pending frontier. Batch
     rows get byte-identical fetch_order/sched_ts to the single-phase
-    form; phase-1 castoffs flow to leftover untouched."""
+    form; phase-1 castoffs flow to leftover untouched.
+
+    ``broadcast_delays=False`` drops the broadcast hint on the delay dim —
+    the scale-safe mode when the dim is one row per DISCOVERED host
+    (10^7-10^8 at a 10^10-URL frontier, multi-GB per executor as a
+    broadcast). The plain join shuffles both sides by host, and the
+    politeness window immediately reuses that clustering, so the only
+    extra cost vs broadcast is the dim's own shuffle (bucketing both
+    sides by host in storage removes even that on a real cluster)."""
     wave_ms = wave_seconds * 1000
     w = Window.partitionBy("host").orderBy("priority", "wave", "enq_seq")
+    delays_side = F.broadcast(delays) if broadcast_delays else delays
     sized = (
-        frontier.join(F.broadcast(delays), "host", "left")
+        frontier.join(delays_side, "host", "left")
         .withColumn(
             "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
         )

@@ -74,6 +74,7 @@ class Crawler:
         priority_expr=None,
         priority_table: DataFrame | None = None,
         max_urls_per_wave: int | None = None,
+        host_dim_broadcast_limit: int = 1_000_000,
     ):
         self.spark = spark
         self.pages = pages
@@ -142,6 +143,18 @@ class Crawler:
         self.first_touch = spark.read.parquet(f"{dims_dir}/first_touch")
         self._dims_dir = dims_dir
         self.seed_hosts: DataFrame | None = None  # set at init / resume
+        # huge-dim mode: the sites-derived dims (robots bodies, delays,
+        # first-touch template) scale with TOTAL known hosts, not wave
+        # size — past the limit a full-dim broadcast is multi-GB per
+        # executor (the round-1 broadcast-all-Bloom-shards bug class), so
+        # the wave switches to left_semi-pruned / shuffle joins. Decided
+        # ONCE per crawl from the materialized delay dim's row count (a
+        # parquet metadata read, no scan). limit<=0 forces pruning on —
+        # the equivalence-test hook.
+        self.prune_host_dims = (
+            host_dim_broadcast_limit <= 0
+            or self.delays.count() > host_dim_broadcast_limit
+        )
 
     # ------------------------------------------------------------------ init
     def _init_state(self, seeds: list[str] | DataFrame) -> tuple[int, int]:
@@ -163,7 +176,7 @@ class Crawler:
         self.seed_hosts = spark.read.parquet(f"{self._dims_dir}/seed_hosts")
         injected, new_hosts = inject_first_touch(
             triggers, _empty_hosts(spark), self.sites, self.bodies, next_wave=0,
-            template=self.first_touch,
+            template=self.first_touch, prune_host_dims=self.prune_host_dims,
         )
         from pyspark.sql import Window
 
@@ -305,6 +318,7 @@ class Crawler:
                 priority_expr=self.priority_expr,
                 priority_table=self.priority_table,
                 max_urls=self.max_urls_per_wave,
+                prune_host_dims=self.prune_host_dims,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

@@ -161,6 +161,7 @@ def inject_first_touch(
     sitemap_bodies: dict[str, str],
     next_wave: int,
     template: DataFrame | None = None,
+    prune_host_dims: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (injected frontier rows, new_hosts). candidates are the
     already-deduped new frontier rows for next_wave.
@@ -168,16 +169,34 @@ def inject_first_touch(
     With a precomputed ``template`` the per-wave cost is one broadcast
     join on host (no UDF stages). Hosts absent from ``sites`` (discovered
     mid-crawl without a site row) fall back to a canonicalize-UDF root —
-    that path only sees the (small) set of genuinely new unknown hosts."""
+    that path only sees the (small) set of genuinely new unknown hosts.
+
+    ``prune_host_dims=True`` is the huge-dim mode: instead of
+    broadcasting the full template / sites-host dim (which scales with
+    TOTAL known hosts — 10^7-10^8 at frontier scale), both dims are
+    left_semi-pruned to THIS wave's new hosts first, so everything that
+    moves is bounded by the wave's discovery, and AQE picks broadcast vs
+    shuffle from the pruned runtime sizes. Output is identical either
+    way (tests/test_dim_prune.py)."""
     new_hosts = (
         candidates.select("host").distinct().join(known_hosts, "host", "left_anti")
     )
     if template is None:
         template = build_first_touch_template(sites, sitemap_bodies)
-    templated = new_hosts.join(F.broadcast(template), "host", "inner")
-    unknown = new_hosts.join(
-        F.broadcast(sites.select("host")), "host", "left_anti"
-    )
+    if prune_host_dims:
+        # one scan of each dim per wave, pruned to the wave's new hosts
+        # before anything is joined back — no total-hosts-sized broadcast
+        template_w = template.join(new_hosts, "host", "left_semi")
+        templated = new_hosts.join(template_w, "host", "inner")
+        known_site_hosts = sites.select("host").join(
+            new_hosts, "host", "left_semi"
+        )
+        unknown = new_hosts.join(known_site_hosts, "host", "left_anti")
+    else:
+        templated = new_hosts.join(F.broadcast(template), "host", "inner")
+        unknown = new_hosts.join(
+            F.broadcast(sites.select("host")), "host", "left_anti"
+        )
     unknown_roots = (
         unknown.select("host", canonicalize_udf("host").alias("canon_url"))
         .filter(F.col("canon_url").isNotNull())
@@ -221,16 +240,26 @@ def run_wave(
     priority_expr=None,
     priority_table: DataFrame | None = None,
     max_urls: int | None = None,
+    prune_host_dims: bool = False,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
     # in precomputed+cached (crawl.Crawler does) so no robots/sitemap UDF
-    # re-runs per wave
+    # re-runs per wave.
+    # prune_host_dims is the huge-dim mode (dim rows scale with TOTAL
+    # discovered hosts, not wave size): every sites-derived dim is either
+    # joined without a broadcast hint (delays — the politeness window
+    # reuses the join's host clustering) or left_semi-pruned to the hosts
+    # actually present in this wave before joining (robots bodies,
+    # first-touch template), so nothing total-hosts-sized is ever
+    # broadcast. Crawler flips it automatically past
+    # host_dim_broadcast_limit.
     if delays is None:
         delays = host_delays(sites)
     batch, leftover = select_budget(
         pending, delays, wave, wave_seconds,
         salt_shards=politeness_salt_shards, max_urls=max_urls,
+        broadcast_delays=not prune_host_dims,
     )
 
     # ---- 2. fetch = corpus ⋈ broadcast(batch) (missing → 404) ------------
@@ -261,13 +290,20 @@ def run_wave(
         fetched = batch.join(corpus, "canon_url", "left")
 
     # ---- 3. robots gate (broadcast dim + Arrow UDF) ----------------------
-    fetched = (
-        fetched.join(
-            F.broadcast(sites.select("host", "robots_content")), "host", "left"
-        )
-        .withColumn("allowed", robots_allowed_udf("canon_url", "robots_content"))
-        .drop("robots_content")
-    )
+    # robots bodies are KBs per host: a full-dim broadcast scales with
+    # TOTAL discovered hosts, so the huge-dim mode prunes the dim to the
+    # batch's distinct hosts first (bounded by the politeness budget /
+    # max_urls) and lets AQE pick the join strategy from the pruned size.
+    robots_dim = sites.select("host", "robots_content")
+    if prune_host_dims:
+        batch_hosts = batch.select("host").distinct()
+        robots_dim = robots_dim.join(batch_hosts, "host", "left_semi")
+        fetched = fetched.join(robots_dim, "host", "left")
+    else:
+        fetched = fetched.join(F.broadcast(robots_dim), "host", "left")
+    fetched = fetched.withColumn(
+        "allowed", robots_allowed_udf("canon_url", "robots_content")
+    ).drop("robots_content")
 
     # ---- 4. status + content hash (JVM-side) -----------------------------
     fetched = fetched.withColumn(
@@ -519,7 +555,7 @@ def run_wave(
     # ---- 8. first-touch injections (root + sitemap seeding) --------------
     injected, new_hosts = inject_first_touch(
         cand, known_hosts, sites, sitemap_bodies or {}, next_wave,
-        template=first_touch_template,
+        template=first_touch_template, prune_host_dims=prune_host_dims,
     )
     new_hosts.cache()  # consumed by the injected rows and the hosts sink
     injected = dedup_against_seen(
