@@ -1177,6 +1177,34 @@ def q_graph_components(spark, sf_dir):
     return connected_components(_toy_edges(spark, sf_dir))
 
 
+def q_graph_degree_stats(spark, sf_dir):
+    """Report-§4 link-graph summary row (report/report.tex:228-232:
+    node/edge counts + avg degree, computed there in Gephi) — exact
+    integers only (avg degree in permille)."""
+    from ieps_crawler_spark.operators.graph import degree_stats
+
+    return degree_stats(_toy_edges(spark, sf_dir))
+
+
+def q_graph_clustering(spark, sf_dir):
+    """Report-§4 local clustering coefficient per node (Gephi's avg
+    clustering coefficient row) — degree-ordered triangle enumeration,
+    each triangle found once at its min-rank vertex; oracle replays the
+    canonical a<b<c three-way self-join."""
+    from ieps_crawler_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_toy_edges(spark, sf_dir))
+
+
+def q_graph_diameter(spark, sf_dir):
+    """Report-§4 network diameter (double-sweep BFS lower bound over the
+    undirected graph); oracle = two recursive-CTE BFS sweeps with the
+    same min-id start and (max dist, min id) pivot."""
+    from ieps_crawler_spark.operators.graph import approx_diameter
+
+    return approx_diameter(_toy_edges(spark, sf_dir))
+
+
 # -------------------------------------------------------------- events ops
 
 def q_events_window_agg(spark, sf_dir):
@@ -1514,6 +1542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
+        "graph_degree_stats": q_graph_degree_stats,
+        "graph_clustering": q_graph_clustering,
+        "graph_diameter": q_graph_diameter,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
@@ -3157,6 +3188,81 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.node_id, sym.b FROM reach JOIN sym
                 ON reach.r = sym.a)
             SELECT node_id, min(r) AS component FROM reach GROUP BY node_id
+        """,
+        "graph_degree_stats": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS from_id,
+                              l_partkey % 1000 AS to_id
+              FROM lineitem),
+            nodes AS (SELECT from_id AS n FROM e UNION SELECT to_id FROM e),
+            od AS (SELECT from_id, count(*) AS d FROM e GROUP BY from_id),
+            idg AS (SELECT to_id, count(*) AS d FROM e GROUP BY to_id)
+            SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   ((SELECT count(*) FROM e) * 1000
+                      // (SELECT count(*) FROM nodes))::BIGINT
+                     AS avg_out_degree_permille,
+                   (SELECT max(d) FROM od)::BIGINT AS max_out_degree,
+                   (SELECT max(d) FROM idg)::BIGINT AS max_in_degree
+        """,
+        "graph_clustering": r"""
+            WITH e0 AS (
+              SELECT DISTINCT l_orderkey % 1000 AS f, l_partkey % 1000 AS t
+              FROM lineitem),
+            und AS (
+              SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+              FROM e0 WHERE f <> t),
+            deg AS (
+              SELECT n AS node_id, count(*) AS degree FROM (
+                SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+              GROUP BY n),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (
+              SELECT n AS node_id, count(*) AS triangles FROM (
+                SELECT x AS n FROM tri UNION ALL
+                SELECT y FROM tri UNION ALL
+                SELECT z FROM tri)
+              GROUP BY n)
+            SELECT d.node_id,
+                   d.degree::BIGINT AS degree,
+                   coalesce(t.triangles, 0)::BIGINT AS triangles,
+                   (CASE WHEN d.degree >= 2
+                         THEN (coalesce(t.triangles, 0) * 2000)
+                                // (d.degree * (d.degree - 1))
+                         ELSE 0 END)::BIGINT AS coeff_permille
+            FROM deg d LEFT JOIN tn t USING (node_id)
+        """,
+        "graph_diameter": r"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS f, l_partkey % 1000 AS t
+              FROM lineitem),
+            sym AS (
+              SELECT f AS a, t AS b FROM e WHERE f <> t
+              UNION SELECT t, f FROM e WHERE f <> t),
+            bfs1(node_id, d) AS (
+              SELECT (SELECT min(a) FROM sym), 0
+              UNION
+              SELECT s.b, bfs1.d + 1 FROM bfs1
+              JOIN sym s ON s.a = bfs1.node_id WHERE bfs1.d < 64),
+            d1 AS (SELECT node_id, min(d) AS d FROM bfs1 GROUP BY node_id),
+            far AS (
+              SELECT node_id, d FROM d1
+              ORDER BY d DESC, node_id ASC LIMIT 1),
+            bfs2(node_id, d) AS (
+              SELECT node_id, 0 FROM far
+              UNION
+              SELECT s.b, bfs2.d + 1 FROM bfs2
+              JOIN sym s ON s.a = bfs2.node_id WHERE bfs2.d < 64),
+            d2 AS (SELECT node_id, min(d) AS d FROM bfs2 GROUP BY node_id)
+            SELECT (SELECT min(a) FROM sym)::BIGINT AS start_node,
+                   (SELECT d FROM far)::BIGINT AS ecc_start,
+                   (SELECT node_id FROM far)::BIGINT AS far_node,
+                   (SELECT max(d) FROM d2)::BIGINT AS diameter_lb,
+                   (SELECT count(*) FROM d2)::BIGINT AS n_reached
         """,
         "events_window_agg": r"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),

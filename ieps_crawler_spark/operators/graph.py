@@ -230,7 +230,17 @@ def hits(
     groupBy the other endpoint) over distinct edges — the same cost
     envelope as one PageRank step; fixed small iteration count, no
     driver-side convergence reads.
+
+    Un-normalized scores grow geometrically (each double-step multiplies
+    by up to max_in_deg * max_out_deg), so keep ``iterations`` small:
+    bigint is exact up to ~9.2e18, i.e. roughly
+    iterations * (log2(max_in_deg) + log2(max_out_deg)) < 63 — e.g. a
+    graph with both max degrees 2^10 is safe through 3 iterations.
+    Beyond that, non-ANSI Spark sums wrap silently; use the normalized
+    float variant of the algorithm instead.
     """
+    if iterations < 1:
+        raise ValueError("hits requires iterations >= 1")
     e = edges.select(src, dst).distinct()
     nodes = (
         e.select(F.col(src).alias("node_id"))
@@ -260,4 +270,222 @@ def hits(
             F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
         )
+    )
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "from_id", dst: str = "to_id"
+) -> DataFrame:
+    """Report-§4 graph summary (the reference's published link-graph
+    table, report/report.tex:228-232, lists node/edge counts and average
+    degree computed in Gephi). One row: n_nodes, n_edges (distinct
+    directed edges), avg_out_degree_permille (exact integer:
+    n_edges*1000 div n_nodes — hash-stable across engines), plus
+    max_out_degree / max_in_degree (skew diagnostics: they size the
+    hottest key any downstream per-node shuffle will see).
+
+    Scale posture: three hash aggregates with map-side combine and three
+    1-row cross joins — no window, nothing driver-side.
+    """
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node_id"))
+        .unionByName(e.select(F.col(dst).alias("node_id")))
+        .distinct()
+    )
+    base = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    max_out = (
+        e.groupBy(src).agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_out_degree"))
+    )
+    max_in = (
+        e.groupBy(dst).agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_in_degree"))
+    )
+    return (
+        base.crossJoin(max_out)
+        .crossJoin(max_in)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.expr("(n_edges * 1000) div n_nodes")
+            .cast("long")
+            .alias("avg_out_degree_permille"),
+            F.col("max_out_degree").cast("long").alias("max_out_degree"),
+            F.col("max_in_degree").cast("long").alias("max_in_degree"),
+        )
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "from_id", dst: str = "to_id"
+) -> DataFrame:
+    """Local clustering coefficient per node over the UNDIRECTED simple
+    graph (report/report.tex:228-232 publishes Gephi's avg clustering
+    coefficient): C(v) = 2*T(v) / (deg(v)*(deg(v)-1)), T(v) = triangles
+    through v. Returns (node_id, degree, triangles, coeff_permille) with
+    exact integers only (coeff in permille, 0 when degree < 2).
+
+    Triangle enumeration is degree-ordered ("compact-forward"): each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher, wedges are built only around a triangle's MINIMUM-rank
+    vertex, and the closing edge is probed against the canonical edge
+    set. Every triangle is found exactly once, and no wedge task fans
+    out more than O(sqrt(m)) — the orientation bounds every node's
+    out-degree — so a web-scale hub with 10^6 neighbors never enumerates
+    its 10^12 naive wedges. Three shuffles total (orient join, wedge
+    self-join, closing-edge semi probe) + one count aggregate.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .unionByName(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("_db"))
+    lower_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    w2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        und,
+        (F.col("a") == F.least("v", "w")) & (F.col("b") == F.greatest("v", "w")),
+        "left_semi",
+    )
+    tri_nodes = (
+        tri.select(F.col("u").alias("node_id"))
+        .unionByName(tri.select(F.col("v").alias("node_id")))
+        .unionByName(tri.select(F.col("w").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tri_nodes, "node_id", "left")
+        .select(
+            "node_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(coalesce(triangles, 0) * 2000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_permille"),
+        )
+    )
+
+
+def bfs_distances(
+    sym: DataFrame, source, max_depth: int = 64
+) -> DataFrame:
+    """Single-source BFS over a symmetric (a, b) edge frame. Returns
+    (node_id, dist) for every node reachable from ``source`` within
+    ``max_depth`` hops. Frontier-based: each round is one join (frontier
+    onto edges) + one anti-join (drop visited) + one min-aggregate —
+    O(diameter) rounds, each lineage-truncated via eager localCheckpoint
+    exactly like connected_components; the only driver-side value per
+    round is the frontier row count (an Observation on the checkpoint's
+    materializing action, no extra job)."""
+    from pyspark.sql import Observation
+
+    visited = (
+        sym.select(F.col("a").alias("node_id"))
+        .distinct()
+        .filter(F.col("node_id") == F.lit(source))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym["a"] == frontier["node_id"], "inner")
+            .select(F.col("b").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+        )
+        obs = Observation(f"bfs_frontier_{depth}")
+        frontier = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        if obs.get["n"] == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def approx_diameter(
+    edges: DataFrame,
+    src: str = "from_id",
+    dst: str = "to_id",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Double-sweep BFS diameter bound over the undirected graph
+    (report/report.tex:228-232 publishes Gephi's network diameter):
+    BFS from the minimum node id, take the farthest node (tie-broken to
+    the smallest id), BFS again from there — the second eccentricity is
+    a lower bound on the true diameter that is exact on trees and
+    near-exact on web-like graphs (Magnien/Latapy/Habib's classic
+    double-sweep). Covers the start node's component only (the giant
+    component, for a crawl's link graph rooted at the seeds).
+
+    One row: (start_node, ecc_start, far_node, diameter_lb, n_reached)
+    — all exact integers. The only driver-side reads are two 1-row
+    collects (the sweep pivots) and the per-round frontier counts; all
+    distance work is distributed (see bfs_distances).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # two sweeps reuse the materialized edges
+    )
+    start = sym.agg(F.min("a").alias("m")).collect()[0]["m"]
+    d1 = bfs_distances(sym, start, max_depth)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("node_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    d2 = bfs_distances(sym, far["node_id"], max_depth)
+    agg2 = d2.agg(
+        F.max("dist").alias("diameter_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    spark = edges.sparkSession
+    pivot = spark.createDataFrame(
+        [(int(start), int(far["dist"]), int(far["node_id"]))],
+        "start_node long, ecc_start long, far_node long",
+    )
+    return pivot.crossJoin(agg2).select(
+        "start_node",
+        "ecc_start",
+        "far_node",
+        F.col("diameter_lb").cast("long").alias("diameter_lb"),
+        F.col("n_reached").cast("long").alias("n_reached"),
     )
