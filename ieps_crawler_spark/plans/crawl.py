@@ -75,6 +75,7 @@ class Crawler:
         priority_table: DataFrame | None = None,
         max_urls_per_wave: int | None = None,
         host_dim_broadcast_limit: int = 1_000_000,
+        fetcher=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -126,6 +127,9 @@ class Crawler:
         # Both default off = byte-identical to the reference ordering.
         self.priority_table = priority_table
         self.max_urls_per_wave = max_urls_per_wave
+        # pluggable fetch stage (sources.fetcher): None = corpus join;
+        # a production deployment injects http_fetcher(fetch_fn) here
+        self.fetcher = fetcher
         # fold the append-only add-deltas every k waves so the per-wave
         # seen scan reads O(1) directories instead of O(waves) (VERDICT r1
         # residual: file-count growth linear in waves); 0 disables
@@ -319,6 +323,7 @@ class Crawler:
                 priority_table=self.priority_table,
                 max_urls=self.max_urls_per_wave,
                 prune_host_dims=self.prune_host_dims,
+                fetcher=self.fetcher,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

@@ -241,6 +241,7 @@ def run_wave(
     priority_table: DataFrame | None = None,
     max_urls: int | None = None,
     prune_host_dims: bool = False,
+    fetcher=None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -275,19 +276,27 @@ def run_wave(
     # corpus by url hash instead: a storage-partitioned join gives the same
     # no-corpus-shuffle property (broadcast_fetch=False keeps the shuffled
     # join for that layout).
-    corpus = pages.select(F.col("url").alias("canon_url"), "html")
-    if broadcast_fetch:
-        batch.cache()  # consumed by the fetch join, miss anti-join, union
-        hits = corpus.join(F.broadcast(batch), "canon_url", "inner")
-        hits.cache()  # consumed by the miss anti-join and the union
-        miss = batch.join(
-            F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
-        )
-        fetched = hits.unionByName(
-            miss.withColumn("html", F.lit(None).cast("binary"))
-        )
+    # fetcher injection point (SURVEY O4 production mapping): any
+    # callable batch -> batch+html — e.g. sources.fetcher.http_fetcher's
+    # mapInPandas live-HTTP stage — replaces the corpus join wholesale;
+    # everything downstream (robots gate, classify, extract, dedup) is
+    # fetch-source-agnostic.
+    if fetcher is not None:
+        fetched = fetcher(batch)
     else:
-        fetched = batch.join(corpus, "canon_url", "left")
+        corpus = pages.select(F.col("url").alias("canon_url"), "html")
+        if broadcast_fetch:
+            batch.cache()  # consumed by the fetch join, miss anti-join, union
+            hits = corpus.join(F.broadcast(batch), "canon_url", "inner")
+            hits.cache()  # consumed by the miss anti-join and the union
+            miss = batch.join(
+                F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
+            )
+            fetched = hits.unionByName(
+                miss.withColumn("html", F.lit(None).cast("binary"))
+            )
+        else:
+            fetched = batch.join(corpus, "canon_url", "left")
 
     # ---- 3. robots gate (broadcast dim + Arrow UDF) ----------------------
     # robots bodies are KBs per host: a full-dim broadcast scales with
