@@ -2503,10 +2503,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": r"""
             WITH g AS (
               SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1)),
-                       i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')
-                     )) AS grams
+                     CASE WHEN len(regexp_split_to_array(lower(text), '\s+')) >= 3
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                            i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')
+                          ))
+                          ELSE [] END AS grams
               FROM documents),
             pairs AS (
               SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
@@ -2517,9 +2519,9 @@ def oracle_sql() -> dict[str, str]:
                    len(list_intersect(a.grams, b.grams))::BIGINT
                      AS n_common,
                    (len(list_intersect(a.grams, b.grams))::BIGINT * 1000
-                    // len(a.grams))::BIGINT AS contain_a_pm,
+                    // nullif(len(a.grams), 0))::BIGINT AS contain_a_pm,
                    (len(list_intersect(a.grams, b.grams))::BIGINT * 1000
-                    // len(b.grams))::BIGINT AS contain_b_pm
+                    // nullif(len(b.grams), 0))::BIGINT AS contain_b_pm
             FROM pairs JOIN g a ON id_a = a.doc_id
                        JOIN g b ON id_b = b.doc_id
         """,

@@ -875,6 +875,13 @@ def ngram_containment_pairs(
     contained doc", not "near-dup pair"). Returns both directions in
     exact permille plus the raw sizes, all integers: hash-stable.
 
+    Docs shorter than ``n`` words have NO n-grams (the word_ngrams
+    empty-array contract): their gram set is empty and their
+    containment direction is null — 'no signal', distinguishable from
+    a measured 0 ('not contained'). The earlier form fabricated one
+    shorter-than-n pseudo-gram, which silently reported a 1-2 word doc
+    quoted inside a longer one as containment 0.
+
     Scale posture: identical to ngram_jaccard_pairs — gram sets are
     built once per doc (JVM transform/slice, distinct'ed) and joined to
     the PAIRS list only; cost is O(candidate pairs), never all-pairs.
@@ -885,12 +892,15 @@ def ngram_containment_pairs(
     )
     grams = grams.withColumn(
         "grams",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
-                f"i -> array_join(slice(words, i, {n}), ' '))"
-            )
-        ),
+        F.when(
+            F.size("words") >= n,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {n - 1}), "
+                    f"i -> array_join(slice(words, i, {n}), ' '))"
+                )
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)")),
     ).select("id", "grams")
     a = grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a")
     b = grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b")
@@ -904,12 +914,13 @@ def ngram_containment_pairs(
         na.alias("n_grams_a"),
         nb.alias("n_grams_b"),
         inter.alias("n_common"),
+        # div-by-zero yields null = 'no signal' for gram-less short docs
         F.expr(
             f"(cast(size(array_intersect(grams_a, grams_b)) as bigint)"
-            f" * 1000) div size(grams_a)"
+            f" * 1000) div nullif(size(grams_a), 0)"
         ).alias("contain_a_pm"),
         F.expr(
             f"(cast(size(array_intersect(grams_a, grams_b)) as bigint)"
-            f" * 1000) div size(grams_b)"
+            f" * 1000) div nullif(size(grams_b), 0)"
         ).alias("contain_b_pm"),
     )

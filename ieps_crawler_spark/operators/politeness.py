@@ -250,12 +250,12 @@ def adaptive_delays(
     window sorts each host's DISTINCT latencies, and the clamp is a
     narrow map — no per-fetch window, no join until the caller merges.
     """
-    from .stats import disc_quantiles
+    from .stats import disc_quantiles, quantile_col_name
 
     q = disc_quantiles(
         fetches.select(host_col, load_col), [host_col], load_col, ps=(p,)
     )
-    pcol = f"p{str(p)[2:].ljust(2, '0')}"  # disc_quantiles' column naming
+    pcol = quantile_col_name(p)
     return q.select(
         host_col,
         F.col(pcol).cast("long").alias("load_p_ms"),
@@ -275,6 +275,7 @@ def detect_traps(
     hash_col: str = "content_hash",
     min_urls: int = 20,
     dup_permille: int = 500,
+    url_col: str | None = None,
 ) -> DataFrame:
     """Crawler-trap detection: flag hosts whose URL space keeps growing
     while their CONTENT does not — calendar pages, session-id URLs,
@@ -288,11 +289,24 @@ def detect_traps(
     73-86) but keeps crawling the host; this is the host-level feedback
     loop on top. All-integer output (dup ratio in exact permille).
 
+    ``url_col``: when the input mixes first fetches with staleness
+    RE-crawls of the same URL (refresh_schedule output), row counts
+    overcount the URL space — a legitimately re-fetched host repeats
+    content hashes and would be falsely flagged. Pass the URL column to
+    count DISTINCT URLs instead; leave None only when every input row
+    is a first fetch.
+
     Scale posture: one hash aggregate per host with a count_distinct
-    expand on the hash — both map-side combinable; no window, no join.
+    expand on the hash (and on the url when given) — all map-side
+    combinable; no window, no join.
     """
+    n_urls_expr = (
+        F.count(F.lit(1))
+        if url_col is None
+        else F.count_distinct(F.col(url_col))
+    )
     agg = fetches.groupBy(host_col).agg(
-        F.count(F.lit(1)).alias("n_urls"),
+        n_urls_expr.alias("n_urls"),
         F.count_distinct(F.col(hash_col)).alias("n_distinct"),
     )
     dup_pm = F.expr("((n_urls - n_distinct) * 1000) div n_urls")

@@ -174,6 +174,14 @@ def hll_corrected(harm_num: int, n_zero: int, bucket_hex: int = 3,
     return raw
 
 
+def quantile_col_name(p: float) -> str:
+    """Output column name disc_quantiles/hdr_quantiles give quantile
+    ``p`` (0.95 -> 'p95', 0.5 -> 'p50'). Public so downstream consumers
+    (operators.politeness.adaptive_delays) never duplicate the format —
+    a silent-naming-drift trap flagged in round-2 review."""
+    return f"p{str(p)[2:].ljust(2, '0')}"
+
+
 def disc_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -208,7 +216,7 @@ def disc_quantiles(
     aggs = []
     for p in ps:
         thr = F.ceil(F.lit(p) * F.col("_n"))
-        name = f"p{str(p)[2:].ljust(2, '0')}"
+        name = quantile_col_name(p)
         aggs.append(
             F.min(F.when(F.col("_cum") >= thr, F.col(value_col))).alias(name)
         )
@@ -378,7 +386,7 @@ def hdr_estimate(
     aggs = []
     for p in ps:
         thr = F.ceil(F.lit(p) * F.col("_n"))
-        name = f"p{str(p)[2:].ljust(2, '0')}"
+        name = quantile_col_name(p)
         aggs.append(
             F.min(F.when(F.col("_cum") >= thr, F.col("_lower"))).alias(name)
         )

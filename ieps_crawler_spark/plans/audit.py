@@ -11,6 +11,8 @@ checks this repo's own CI runs against every driver query.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 # plan fragments that almost never belong in a 100 TB job
@@ -53,7 +55,13 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         + p.count("FlatMapGroupsInPandas")
         + p.count("ArrowEvalPython"),
         "wholestage_codegen_spans": p.count("WholeStageCodegen"),
-        "global_sorts": p.count("Sort [") - p.count("SortMergeJoin"),
+        # a Sort node prints its global flag after the ordering list:
+        # 'Sort [...], true, 0' = global (range-partitioned total order),
+        # ', false' = local (SMJ side sorts, window/agg partition sorts).
+        # Counting the flag directly — subtracting SortMergeJoin count
+        # under-corrected (an SMJ inserts up to TWO local Sorts) and
+        # miscounted window sorts as global.
+        "global_sorts": len(_re.findall(r"Sort \[[^\]]*\], true", p)),
     }
 
 

@@ -399,3 +399,33 @@ def test_containment_python_oracle_and_partitions(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_containment_short_doc_null_not_zero(spark):
+    """Docs with < n words have no n-grams (word_ngrams' empty-array
+    contract): their containment direction is null ('no signal'), never
+    a fabricated 0 — a 2-word quote inside a long doc must not be
+    reported as 'not contained' (round-2 review finding)."""
+    from ieps_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),  # 2 words < n=3: no grams
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_grams_a"], r["contain_a_pm"], r["contain_b_pm"]
+        )
+        for r in ngram_containment_pairs(docs, pairs).collect()
+    }
+    # short doc: empty gram set, null both directions involving it
+    assert got[(1, 2)] == (0, None, 0)
+    # 3-word doc has exactly its whole-doc gram, fully contained in doc 2
+    assert got[(3, 2)] == (1, 1000, 333)
