@@ -1378,6 +1378,19 @@ def q_text_distinctive_terms(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """Vocab-driven greedy subword token counts (the realism tier above
+    text_token_count's regex proxy): longest-match walk over the
+    vendored vocab, tokenizing each DISTINCT chunk once (Zipfian
+    webtext) then joining counts back; oracle replays the same walk
+    with a recursive CTE over an inline vocab table."""
+    from ieps_crawler_spark.functions.tokenizer import greedy_bpe_token_counts
+
+    return greedy_bpe_token_counts(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def q_sketch_hll_users(spark, sf_dir):
     """From-scratch md5-HLL (m=256 — sized so every SF sits in the raw
     HLL regime n > 2.5m; 48-bit ranks): per-event-type distinct
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "text_unigram_stats": q_text_unigram_stats,
         "text_distinctive_terms": q_text_distinctive_terms,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "pipeline_corpus_select": q_pipeline_corpus_select,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
@@ -1559,6 +1573,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SL_PAT = r"\b(in|je|na|za|se|da|so|ki|pri|tudi)\b"
 _EN_PAT = r"\b(the|and|of|to|in|is|that|for|with|as)\b"
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of functions.tokenizer.greedy_bpe_token_counts: the
+    vendored vocab becomes an inline VALUES table and a recursive CTE
+    replays the greedy longest-match walk per DISTINCT chunk (taking
+    max(len(tok)) of the vocab prefixes at each position, advancing 1
+    and counting 1 when none match), then occurrence-weighted sums per
+    doc — the same distinct-chunk factoring as the Spark plan."""
+    from ieps_crawler_spark.functions.tokenizer import DEFAULT_VOCAB
+
+    toks = ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in DEFAULT_VOCAB
+    )
+    return rf"""
+        WITH RECURSIVE vocab(tok) AS (VALUES {toks}),
+        doc_chunks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   lower(text), '[a-zà-ſ]+|[0-9]+|[^\sa-z0-9]')) AS chunk
+          FROM documents),
+        occ AS (
+          SELECT doc_id, chunk, count(*) AS n_occ
+          FROM doc_chunks GROUP BY doc_id, chunk),
+        uniq AS (SELECT DISTINCT chunk FROM occ),
+        walk(chunk, pos, n) AS (
+          SELECT chunk, 1, 0 FROM uniq
+          UNION ALL
+          SELECT walk.chunk,
+                 pos + coalesce(
+                   (SELECT max(len(tok)) FROM vocab
+                    WHERE substr(walk.chunk, walk.pos, len(tok)) = tok), 1),
+                 n + 1
+          FROM walk WHERE pos <= len(chunk)),
+        per_chunk AS (SELECT chunk, max(n) AS toks FROM walk GROUP BY chunk),
+        agg AS (
+          SELECT o.doc_id, sum(o.n_occ)::BIGINT AS n_chunks,
+                 sum(o.n_occ * p.toks)::BIGINT AS n_tokens
+          FROM occ o JOIN per_chunk p USING (chunk) GROUP BY o.doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_chunks, 0)::BIGINT AS n_chunks,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _hll_oracle_sql() -> str:
@@ -2943,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, score_milli, rnk
             FROM ranked WHERE rnk <= 3
         """,
+        "text_bpe_tokens": _bpe_oracle_sql(),
         "text_unigram_stats": r"""
             WITH words AS (
               SELECT doc_id,
