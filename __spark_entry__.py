@@ -595,6 +595,89 @@ def q_crawl_refresh_topk(spark, sf_dir):
     )
 
 
+def q_crawl_curation_pipeline(spark, sf_dir):
+    """Crawl-side curation COMPOSITION (VERDICT r2 stretch): one plan
+    chaining fetch log -> trap detection -> adaptive politeness ->
+    staleness re-crawl scheduling -> link-graph authority lanes. Trap
+    hosts leave the refresh pool, measured-latency delays set each
+    host's budget, and the scheduled list carries the host's priority
+    lane from in-link authority (exact-permille share). Proves the
+    curation surfaces compose declaratively — Catalyst sees ONE tree,
+    so the fetch-log scan is shared and every aggregate keeps map-side
+    combine; no operator boundary materializes."""
+    import datetime as dt
+
+    from ieps_crawler_spark.operators.politeness import (
+        adaptive_delays,
+        detect_traps,
+        refresh_schedule,
+    )
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), F.pmod(d, F.lit(17)).cast("string"),
+                    F.lit(".gov.si"))
+    fetches = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), d.cast("string"),
+                 F.lit("/")).alias("url"),
+        host.alias("host"),
+        F.substring(F.md5(F.substring("text", 1, 40)), 1, 12).alias(
+            "content_hash"
+        ),
+        (
+            F.lit(dt.datetime(2019, 4, 1)) + F.make_interval(hours=d % 120)
+        ).alias("warc_ts"),
+        (F.pmod(d * 37, F.lit(4000)) + F.lit(100)).cast("long").alias(
+            "load_time_ms"
+        ),
+    )
+    traps = detect_traps(
+        fetches, min_urls=20, dup_permille=300, url_col="url"
+    )
+    delays = adaptive_delays(fetches, mult=2).select("host", "delay_ms")
+    pool = fetches.join(
+        traps.filter(F.col("is_trap")).select("host"), "host", "left_anti"
+    )
+    sched = refresh_schedule(
+        pool.select("url", "host", "warc_ts"),
+        delays,
+        dt.datetime(2019, 4, 6),
+        min_age_seconds=48 * 3600,
+        wave_seconds=60,
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(17)).alias("fh"),
+        F.pmod(F.col("l_partkey"), F.lit(17)).alias("th"),
+        F.col("l_orderkey").alias("from_page"),
+    ).filter(F.col("fh") != F.col("th"))
+    agg = e.groupBy("th").agg(F.count_distinct("from_page").alias("in_links"))
+    # the host-level aggregate is 17 rows — a single-partition window for
+    # the total keeps the plan BNLJ/cartesian-free (audit discipline)
+    from pyspark.sql import Window as _W
+
+    rank = agg.withColumn(
+        "tot", F.sum("in_links").over(_W.partitionBy(F.lit(1)))
+    ).select(
+        F.concat(F.lit("h"), F.col("th").cast("string"),
+                 F.lit(".gov.si")).alias("host"),
+        F.expr("(in_links * 1000) div tot").cast("long").alias("in_permille"),
+        F.when(F.expr("(in_links * 1000) div tot") >= 60, 0)
+        .when(F.expr("(in_links * 1000) div tot") >= 55, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("priority"),
+    )
+    return sched.join(rank, "host", "left").select(
+        "url",
+        "host",
+        "age_s",
+        "fetch_order",
+        F.date_format("sched_ts", "yyyy-MM-dd HH:mm:ss").alias("sched_ts_s"),
+        F.coalesce("in_permille", F.lit(0)).cast("long").alias("in_permille"),
+        F.coalesce("priority", F.lit(2)).cast("int").alias("priority"),
+    )
+
+
 def q_crawl_anchor_stats(spark, sf_dir):
     """Anchor-text aggregation: HTML constructed per document carries two
     anchors (one to a target shared by ~1/50 of docs with text varying by
@@ -1511,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_parse": q_crawl_sitemap_parse,
         "crawl_refresh_topk": q_crawl_refresh_topk,
         "crawl_anchor_stats": q_crawl_anchor_stats,
+        "crawl_curation_pipeline": q_crawl_curation_pipeline,
         "source_warc_scan": q_source_warc_scan,
         "tpch_q1_agg": q_tpch_q1_agg,
         "dedup_exact": q_dedup_exact,
@@ -2493,6 +2577,79 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(list(anchor ORDER BY anchor),
                                               1, 3), '|') AS anchors_sample
             FROM ranked GROUP BY url
+        """,
+        "crawl_curation_pipeline": r"""
+            WITH fetches AS (
+              SELECT 'http://h' || (doc_id % 17) || '.gov.si/p' || doc_id
+                       || '/' AS url,
+                     'h' || (doc_id % 17) || '.gov.si' AS host,
+                     substr(md5(substr(text, 1, 40)), 1, 12) AS content_hash,
+                     TIMESTAMP '2019-04-01 00:00:00'
+                       + to_hours(doc_id % 120) AS warc_ts,
+                     ((doc_id * 37) % 4000 + 100)::BIGINT AS load_ms
+              FROM documents),
+            trapagg AS (
+              SELECT host, count(DISTINCT url) AS n_urls,
+                     count(DISTINCT content_hash) AS n_distinct
+              FROM fetches GROUP BY host),
+            trap_hosts AS (
+              SELECT host FROM trapagg
+              WHERE n_urls >= 20
+                AND ((n_urls - n_distinct) * 1000) // n_urls >= 300),
+            h AS (SELECT host, load_ms, count(*) AS c
+                  FROM fetches GROUP BY host, load_ms),
+            cum AS (
+              SELECT host, load_ms,
+                     sum(c) OVER (PARTITION BY host ORDER BY load_ms) AS cm,
+                     sum(c) OVER (PARTITION BY host) AS n
+              FROM h),
+            delays AS (
+              SELECT host,
+                     least(10000, greatest(500,
+                       min(CASE WHEN cm >= ceil(0.95 * n)
+                                THEN load_ms END) * 2))::BIGINT AS delay_ms
+              FROM cum GROUP BY host),
+            pool AS (
+              SELECT f.* FROM fetches f
+              WHERE f.host NOT IN (SELECT host FROM trap_hosts)),
+            stale AS (
+              SELECT url, host, warc_ts,
+                     CAST(epoch(TIMESTAMP '2019-04-06 00:00:00')
+                          - epoch(warc_ts) AS BIGINT) AS age_s
+              FROM pool
+              WHERE epoch(TIMESTAMP '2019-04-06 00:00:00')
+                    - epoch(warc_ts) >= 172800),
+            ranked AS (
+              SELECT s.*, d.delay_ms,
+                     row_number() OVER (PARTITION BY s.host
+                                        ORDER BY s.warc_ts, s.url)
+                       AS fetch_order
+              FROM stale s JOIN delays d USING (host)),
+            sel AS (
+              SELECT * FROM ranked
+              WHERE fetch_order <= greatest(1, 60000 // delay_ms)),
+            e AS (
+              SELECT DISTINCT l_orderkey % 17 AS fh, l_partkey % 17 AS th,
+                              l_orderkey AS from_page
+              FROM lineitem WHERE (l_orderkey % 17) <> (l_partkey % 17)),
+            agg AS (
+              SELECT th, count(DISTINCT from_page) AS in_links
+              FROM e GROUP BY th),
+            rank AS (
+              SELECT 'h' || th || '.gov.si' AS host,
+                     ((in_links * 1000)
+                       // (SELECT sum(in_links) FROM agg))::BIGINT
+                       AS in_permille
+              FROM agg)
+            SELECT sel.url, sel.host, sel.age_s, sel.fetch_order,
+                   strftime(TIMESTAMP '2019-04-06 00:00:00'
+                     + to_milliseconds((sel.fetch_order - 1) * sel.delay_ms),
+                     '%Y-%m-%d %H:%M:%S') AS sched_ts_s,
+                   coalesce(r.in_permille, 0)::BIGINT AS in_permille,
+                   (CASE WHEN coalesce(r.in_permille, 0) >= 60 THEN 0
+                         WHEN coalesce(r.in_permille, 0) >= 55 THEN 1
+                         ELSE 2 END)::INT AS priority
+            FROM sel LEFT JOIN rank r ON sel.host = r.host
         """,
         # the WARC generator's inverse: predict every parsed response
         # record (url/ts/status/body hash) straight from documents

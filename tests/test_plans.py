@@ -133,6 +133,7 @@ def test_pipeline_family_is_pure_jvm(spark, sf_dir):
         "dedup_cluster_canonical",
         "crawl_host_rank",
         "crawl_wave_cap",
+        "crawl_curation_pipeline",
     ]:
         p = plan(qs[name](spark, sf_dir))
         assert "EvalPython" not in p, f"{name} plan runs Python:\n{p}"
