@@ -35,7 +35,7 @@ def _read(spark: SparkSession, ref: str):
     return spark.table(ref)
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True,
                     help="pages table: (url, warc_ts, html, text, lang)")
@@ -51,7 +51,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bloom", action="store_true",
                     help="enable the sharded Bloom pre-filter for seen-dedup")
-    args = ap.parse_args()
+    ap.add_argument("--publish-iceberg", default=None, metavar="NAMESPACE",
+                    help="after the crawl, publish crawl_results/links/"
+                         "metrics/seen as Iceberg tables under this "
+                         "namespace (e.g. my_catalog.crawl); requires an "
+                         "Iceberg catalog configured on the session")
+    args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("ieps_crawler_spark").getOrCreate()
     from ieps_crawler_spark.plans.crawl import Crawler
@@ -73,6 +78,35 @@ def main() -> None:
     for m in stats.per_wave:
         print(m)
     print(f"waves={stats.waves} fetched={stats.fetched}")
+
+    if args.publish_iceberg:
+        # the tool-driven Iceberg path (catalog-detected): checkpoint
+        # state stays in the parquet SnapshotStore/DeltaLog; the crawl
+        # OUTPUT tables publish as atomic Iceberg snapshots
+        from ieps_crawler_spark.sinks.iceberg import (
+            IcebergTableSink,
+            iceberg_catalogs,
+        )
+
+        cat = args.publish_iceberg.split(".", 1)[0]
+        cats = iceberg_catalogs(spark)
+        if cat not in cats:
+            raise SystemExit(
+                f"--publish-iceberg: '{cat}' is not an Iceberg catalog on "
+                f"this session (detected: {cats or 'none'}). Configure "
+                f"spark.sql.catalog.{cat} and ship the "
+                "iceberg-spark-runtime jars (tools/submit.sh --packages)."
+            )
+        sink = IcebergTableSink(spark, args.publish_iceberg)
+        for name, df in (
+            ("crawl_results", crawler.results()),
+            ("links", crawler.links()),
+            ("metrics", crawler.metrics()),
+            ("seen", crawler.seen()),
+        ):
+            if df is not None:
+                sink.replace_snapshot(name, df)
+                print(f"published {args.publish_iceberg}.{name}")
 
 
 if __name__ == "__main__":
