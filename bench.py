@@ -236,6 +236,21 @@ def main() -> None:
         )
         extras["crawl_capped"] = crawl_cap
 
+    # fifth config: BOTH scale mechanisms engaged at once — resource-
+    # capped waves AND the probabilistic seen filter (VERDICT r2 task 8:
+    # they were only ever benched separately). Same closure invariant:
+    # identical URL total, more + flatter waves. BENCH_CAP_FILTER picks
+    # the filter family (default bloom; 'cuckoo' for the other).
+    if (cap and not only) or "crawl_capped_bloom" in only:
+        crawl_cb = bench_crawl(
+            spark, sf_dir, args.replicate, args.hosts, args.seeds,
+            max_waves=max(args.waves * 4, 24),
+            max_urls_per_wave=cap or 30_000,
+            use_bloom=True,
+            seen_filter=os.environ.get("BENCH_CAP_FILTER", "bloom"),
+        )
+        extras["crawl_capped_bloom"] = crawl_cb
+
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
     for name, fn in entry_mod.queries().items():
         if name in skip:
@@ -278,7 +293,8 @@ def main() -> None:
         out["crawl"] = {k: v for k, v in extras["crawl"].items()
                         if k != "per_wave"}
         out["urls_per_sec"] = extras["crawl"]["urls_per_sec"]
-    for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped"):
+    for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped",
+                "crawl_capped_bloom"):
         if cfg in extras:
             out[f"ups_{cfg.split('_', 1)[1]}"] = extras[cfg]["urls_per_sec"]
     budget = 1900 - len(json.dumps(out, separators=(",", ":")))
