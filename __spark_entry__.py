@@ -1273,10 +1273,21 @@ def q_graph_clustering(spark, sf_dir):
     """Report-§4 local clustering coefficient per node (Gephi's avg
     clustering coefficient row) — degree-ordered triangle enumeration,
     each triangle found once at its min-rank vertex; oracle replays the
-    canonical a<b<c three-way self-join."""
+    canonical a<b<c three-way self-join. Node space is 20k (not the
+    1k of the other graph queries): the shared toy graph densifies
+    with SF toward near-complete, and triangle counting on a
+    near-complete graph is O(n^3) regardless of algorithm — web link
+    graphs are sparse, so the clustering bench keeps web-like density
+    at every SF."""
     from ieps_crawler_spark.operators.graph import clustering_coefficients
 
-    return clustering_coefficients(_toy_edges(spark, sf_dir))
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(20_000)).alias("from_id"),
+        F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(20_000))
+        .alias("to_id"),
+    ).dropDuplicates(["from_id", "to_id"])
+    return clustering_coefficients(edges)
 
 
 def q_graph_diameter(spark, sf_dir):
@@ -3430,7 +3441,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_clustering": r"""
             WITH e0 AS (
-              SELECT DISTINCT l_orderkey % 1000 AS f, l_partkey % 1000 AS t
+              SELECT DISTINCT l_orderkey % 20000 AS f,
+                              (l_partkey * 7 + l_suppkey) % 20000 AS t
               FROM lineitem),
             und AS (
               SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
