@@ -40,6 +40,48 @@ def _time_noop(spark, fn, sf_dir: str) -> float:
 
 _CORPUS_MEMO: dict = {}
 
+# The driver stores only the last 2000 chars of bench stdout (measured
+# from BENCH_r02.json, where one giant final line lost the round's
+# official perf record to tail truncation) — the final summary line must
+# always fit under this.
+FINAL_LINE_BUDGET = 1900
+
+
+def final_line(results: dict, extras: dict, sf: float, cpus: int) -> dict:
+    """Byte-budgeted summary for the LAST stdout line: headline crawl
+    config stays whole (minus per-wave arrays), alternate configs
+    collapse to one throughput number, and the queries dict keeps the
+    slowest entries that fit the remaining bytes (the full set lives in
+    BENCH_DETAIL.json and the earlier detail line)."""
+    out = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(results),
+    }
+    if "crawl" in extras:
+        out["crawl"] = {k: v for k, v in extras["crawl"].items()
+                        if k != "per_wave"}
+        out["urls_per_sec"] = extras["crawl"]["urls_per_sec"]
+    for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped",
+                "crawl_capped_bloom"):
+        if cfg in extras:
+            out[f"ups_{cfg.split('_', 1)[1]}"] = extras[cfg]["urls_per_sec"]
+    budget = FINAL_LINE_BUDGET - len(json.dumps(out, separators=(",", ":")))
+    picked: dict[str, float] = {}
+    used = len('"queries":{}') + 1
+    for name in sorted(results, key=lambda n: -results[n]):
+        cost = len(json.dumps({name: results[name]},
+                              separators=(",", ":"))) - 1
+        if used + cost > budget:
+            break
+        picked[name] = results[name]
+        used += cost
+    out["queries"] = {n: picked[n] for n in results if n in picked}
+    return out
+
 
 def _setup_corpus(spark, sf_dir: str, replicate: int, n_hosts: int,
                   n_seeds: int):
@@ -274,41 +316,8 @@ def main() -> None:
         pass
     print(json.dumps(detail))
 
-    # Final line budget: the driver stores only the last 2000 chars of
-    # stdout (measured from BENCH_r02.json), so the summary must fit or
-    # the round's official perf record is lost. Headline crawl config
-    # stays full (minus per-wave arrays); alternate configs collapse to
-    # one throughput number; the queries dict keeps the slowest entries
-    # that fit the remaining bytes (full set is in BENCH_DETAIL.json and
-    # the detail line above).
-    out = {
-        "metric": "urls_fetched_deduped_per_sec",
-        "value": round(sum(results.values()), 3),
-        "unit": "sec",
-        "sf": sf,
-        "cpus": int(cpus),
-        "n_queries": len(results),
-    }
-    if "crawl" in extras:
-        out["crawl"] = {k: v for k, v in extras["crawl"].items()
-                        if k != "per_wave"}
-        out["urls_per_sec"] = extras["crawl"]["urls_per_sec"]
-    for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped",
-                "crawl_capped_bloom"):
-        if cfg in extras:
-            out[f"ups_{cfg.split('_', 1)[1]}"] = extras[cfg]["urls_per_sec"]
-    budget = 1900 - len(json.dumps(out, separators=(",", ":")))
-    picked: dict[str, float] = {}
-    used = 2  # braces
-    for name in sorted(results, key=lambda n: -results[n]):
-        cost = len(json.dumps({name: results[name]},
-                              separators=(",", ":"))) - 1
-        if used + cost > budget:
-            break
-        picked[name] = results[name]
-        used += cost
-    out["queries"] = {n: picked[n] for n in results if n in picked}
-    print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(final_line(results, extras, sf, int(cpus)),
+                     separators=(",", ":")))
     spark.stop()
 
 

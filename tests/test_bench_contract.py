@@ -1,0 +1,41 @@
+"""bench.py driver contract: the FINAL stdout line must parse as JSON
+and fit the driver's 2000-char tail capture at any query count (round-2
+post-mortem: one giant line -> BENCH_r02.json parsed:null)."""
+
+import json
+
+from bench import FINAL_LINE_BUDGET, final_line
+
+
+def _crawl(ups):
+    return {
+        "sec": 123.456, "wave_sec": 99.999, "urls": 2_642_986, "waves": 24,
+        "corpus_pages": 5_000_000, "urls_per_sec": ups,
+        "per_wave": [{"fetched": 10**6, "sec": 9.9, "deltas": 4.4,
+                      "snap": 5.5}] * 48,
+    }
+
+
+def test_final_line_fits_budget_at_any_scale():
+    results = {f"very_long_query_name_family_{i:03d}": 123.456
+               for i in range(200)}
+    results["crawl"] = 999.999
+    extras = {c: _crawl(30000.5) for c in
+              ("crawl", "crawl_bloom", "crawl_cuckoo", "crawl_capped",
+               "crawl_capped_bloom")}
+    out = final_line(results, extras, 0.1, 32)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= FINAL_LINE_BUDGET, len(line)
+    assert json.loads(line)["n_queries"] == 201
+    assert "per_wave" not in line
+    assert out["crawl"]["urls"] == 2_642_986
+    assert out["ups_capped_bloom"] == 30000.5
+    # slowest queries survive truncation
+    assert "crawl" in out["queries"]
+
+
+def test_final_line_keeps_all_queries_when_small():
+    results = {"a": 1.0, "b": 2.0}
+    out = final_line(results, {}, 0.01, 8)
+    assert out["queries"] == {"a": 1.0, "b": 2.0}
+    assert out["value"] == 3.0
