@@ -1118,6 +1118,40 @@ def q_text_top_ngrams(spark, sf_dir):
     return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=25)
 
 
+def q_crawl_cdx_index(spark, sf_dir):
+    """CDX-style capture index over a synthetic capture log: SURT urlkey
+    (lowercase, scheme/port/fragment/www. dropped, host labels reversed,
+    query params sorted), 14-digit timestamp, the engine's upper-SHA-256
+    digest, byte length. The URL mix exercises every SURT rule: mixed
+    case, www. prefixes, ports, unsorted query params, fragments.
+    functions/surt.py; Common Crawl's index layout, absent in the
+    reference (its URL universe lives in PostgreSQL)."""
+    from ieps_crawler_spark.functions.surt import cdx_index
+
+    d = F.col("doc_id")
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(F.pmod(d, F.lit(3)) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("h"), F.pmod(d, F.lit(97)).cast("string"), F.lit(".Gov.SI"),
+            F.when(F.pmod(d, F.lit(11)) == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/A/b"), F.pmod(d, F.lit(13)).cast("string"),
+            F.when(F.pmod(d, F.lit(2)) == 0, F.lit("/?z=9&a=1"))
+            .otherwise(F.lit("/")),
+            F.when(F.pmod(d, F.lit(7)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2019-04-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, doc_id, 0)"
+        ).alias("warc_ts"),
+        F.when(F.pmod(d, F.lit(5)) == 0, F.lit(404)).otherwise(F.lit(200))
+        .alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return cdx_index(pages)
+
+
 def q_text_unigram_stats(spark, sf_dir):
     """Unigram-LM quality scoring (the CCNet perplexity-proxy): fit the
     frequency table on even doc_ids, score every doc against it. The
@@ -1664,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_top_ngrams": q_text_top_ngrams,
+        "crawl_cdx_index": q_crawl_cdx_index,
     }
 
 
@@ -3559,4 +3594,58 @@ def oracle_sql() -> dict[str, str]:
              AND c.click_us BETWEEN e.lo AND e.hi
         """,
         "crawl_e2e": _crawl_e2e_oracle_sql(),
+        # SURT key replayed step-by-step in DuckDB string/list functions;
+        # sha256() is lowercase hex in DuckDB -> upper() to match Spark's
+        # upper(sha2(..., 256)); octet_length::BIGINT twins length(binary)
+        "crawl_cdx_index": r"""
+            WITH pages AS (
+              SELECT
+                'HTTPS://' ||
+                CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+                'h' || (doc_id % 97)::VARCHAR || '.Gov.SI' ||
+                CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+                '/A/b' || (doc_id % 13)::VARCHAR ||
+                CASE WHEN doc_id % 2 = 0 THEN '/?z=9&a=1' ELSE '/' END ||
+                CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url,
+                TIMESTAMP '2019-04-01 00:00:00'
+                  + doc_id * INTERVAL 1 MINUTE AS warc_ts,
+                CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+                'text/html' AS mime,
+                text
+              FROM documents),
+            p1 AS (
+              SELECT *,
+                regexp_replace(lower(url),
+                               '^[a-z][a-z0-9+.-]*://', '') AS rest
+              FROM pages),
+            p2 AS (
+              SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport
+              FROM p1),
+            p3 AS (
+              SELECT *,
+                regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                               '^www\.', '') AS host,
+                regexp_replace(substr(rest, length(hostport) + 1),
+                               '#.*$', '') AS pathq
+              FROM p2),
+            p4 AS (
+              SELECT *,
+                CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                     THEN '/'
+                     ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+                regexp_extract(pathq, '\?(.*)$', 1) AS query
+              FROM p3)
+            SELECT
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+                || ')' || path ||
+                CASE WHEN query = '' THEN ''
+                     ELSE '?' || array_to_string(
+                            list_sort(string_split(query, '&')), '&') END
+                AS urlkey,
+              strftime(warc_ts, '%Y%m%d%H%M%S') AS ts_s,
+              url, mime, status,
+              upper(sha256(text)) AS digest,
+              octet_length(encode(text))::BIGINT AS length
+            FROM p4
+        """,
     }

@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bloom", action="store_true",
                     help="enable the sharded Bloom pre-filter for seen-dedup")
+    ap.add_argument("--export-warc", default=None, metavar="DIR",
+                    help="after the crawl, export fetched HTML pages "
+                         "(their retained extracted text — raw html is "
+                         "dropped at the extraction stage by design) as "
+                         "deterministic segmented .warc.gz files under DIR")
+    ap.add_argument("--warc-segments", type=int, default=64,
+                    help="number of WARC segment files (~1 GB each at "
+                         "Common Crawl scale; one write task per segment)")
     ap.add_argument("--publish-iceberg", default=None, metavar="NAMESPACE",
                     help="after the crawl, publish crawl_results/links/"
                          "metrics/seen as Iceberg tables under this "
@@ -78,6 +86,27 @@ def main(argv: list[str] | None = None) -> None:
     for m in stats.per_wave:
         print(m)
     print(f"waves={stats.waves} fetched={stats.fetched}")
+
+    if args.export_warc:
+        from pyspark.sql import functions as F
+
+        from ieps_crawler_spark.sinks.warc_sink import write_warc
+
+        pages = crawler.results().filter(F.col("page_type") == "HTML").select(
+            "url",
+            F.col("sched_ts").alias("warc_ts"),
+            "http_status",
+            F.lit("text/plain; charset=utf-8").alias("content_type"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+            .alias("html"),
+        )
+        tot = write_warc(
+            pages, args.export_warc, n_segments=args.warc_segments
+        ).agg(F.sum("records").alias("r"), F.sum("bytes").alias("b")).first()
+        print(
+            f"exported WARC: {tot.r} records / {tot.b} bytes in "
+            f"{args.warc_segments} segments under {args.export_warc}"
+        )
 
     if args.publish_iceberg:
         # the tool-driven Iceberg path (catalog-detected): checkpoint
