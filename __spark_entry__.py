@@ -1649,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         "text_bpe_tokens": q_text_bpe_tokens,
         "crawl_curation_pipeline": q_crawl_curation_pipeline,
+        "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -1698,7 +1699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_top_ngrams": q_text_top_ngrams,
-        "crawl_cdx_index": q_crawl_cdx_index,
     }
 
 
@@ -1717,17 +1717,22 @@ def _bpe_oracle_sql() -> str:
     max(len(tok)) of the vocab prefixes at each position, advancing 1
     and counting 1 when none match), then occurrence-weighted sums per
     doc — the same distinct-chunk factoring as the Spark plan."""
-    from ieps_crawler_spark.functions.tokenizer import DEFAULT_VOCAB
+    from ieps_crawler_spark.functions.tokenizer import (
+        CHUNK_PATTERN,
+        DEFAULT_VOCAB,
+    )
 
     toks = ", ".join(
         "('" + t.replace("'", "''") + "')" for t in DEFAULT_VOCAB
     )
+    # share the engine's pattern constant verbatim so the two regex
+    # engines can never drift (it avoids \s for exactly that reason)
     return rf"""
         WITH RECURSIVE vocab(tok) AS (VALUES {toks}),
         doc_chunks AS (
           SELECT doc_id,
                  unnest(regexp_extract_all(
-                   lower(text), '[a-zà-ſ]+|[0-9]+|[^\sa-z0-9]')) AS chunk
+                   lower(text), '{CHUNK_PATTERN}')) AS chunk
           FROM documents),
         occ AS (
           SELECT doc_id, chunk, count(*) AS n_occ

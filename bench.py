@@ -306,8 +306,13 @@ def main() -> None:
     # Verbose detail goes to a file + an EARLY stdout line; the FINAL line
     # is a compact summary the driver can always parse.
     detail = {"queries": results, "sf": sf, **extras}
+    # Partial (--only) runs must not clobber the full-suite record: the
+    # scaling harness shells out with --only crawl and twice overwrote the
+    # 78-query detail file. Full runs own BENCH_DETAIL.json; partial runs
+    # write a sidecar.
+    detail_name = "BENCH_DETAIL.json" if not only else "BENCH_DETAIL.partial.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(detail_path, "w") as f:

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-CHUNK_PATTERN = r"[a-zà-ſ]+|[0-9]+|[^\sa-z0-9]"
+# Explicit whitespace class, NOT \s: the pattern is evaluated by BOTH
+# Java regex (Spark) and RE2 (the DuckDB oracle), and the engines
+# disagree on \s at the edges (Java's \s includes \x0b, RE2's does
+# not), which would make a document containing a vertical tab tokenize
+# differently per engine and fail the oracle hash.
+_WS = "\\t\\n\\x0b\\f\\r "
+CHUNK_PATTERN = rf"[a-zà-ſ]+|[0-9]+|[^{_WS}a-z0-9]"
 
 _MERGES = [
     # frequent English pieces

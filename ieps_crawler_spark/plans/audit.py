@@ -60,8 +60,13 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         # ', false' = local (SMJ side sorts, window/agg partition sorts).
         # Counting the flag directly — subtracting SortMergeJoin count
         # under-corrected (an SMJ inserts up to TWO local Sorts) and
-        # miscounted window sorts as global.
-        "global_sorts": len(_re.findall(r"Sort \[[^\]]*\], true", p)),
+        # miscounted window sorts as global. Greedy .* to the LAST
+        # '], true' on the line: ordering expressions can themselves
+        # contain ']' (array element access like x#1[0]), which a
+        # [^\]]* class would stop at and miss the node.
+        "global_sorts": len(
+            _re.findall(r"Sort \[.*\], true", p)
+        ),
     }
 
 

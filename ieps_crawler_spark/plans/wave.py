@@ -281,6 +281,11 @@ def run_wave(
     # mapInPandas live-HTTP stage — replaces the corpus join wholesale;
     # everything downstream (robots gate, classify, extract, dedup) is
     # fetch-source-agnostic.
+    if prune_host_dims:
+        # The robots-dim pruning below re-reads `batch` for its distinct
+        # hosts; without this cache that second consumer would re-run
+        # the whole politeness selection window.
+        batch.cache()
     if fetcher is not None:
         fetched = fetcher(batch)
     else:

@@ -36,7 +36,6 @@ lineage table (``sinks/tables.py`` keeps per-wave manifests already).
 from __future__ import annotations
 
 import gzip
-import io
 import os
 
 import pandas as pd
@@ -44,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.warc import build_warc_bytes  # noqa: F401  (re-export)
+from ..sources.warc import build_warc_record
 
 MANIFEST_SCHEMA = "warc_file string, records bigint, bytes bigint"
 
@@ -79,32 +79,45 @@ def write_warc(
     def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
         pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
-        records = [
-            {
-                "url": r.url,
-                "ts": r.warc_ts.to_pydatetime(),
-                "status": int(r.http_status),
-                "content_type": r.content_type or "",
-                "body": bytes(r.html) if r.html is not None else b"",
-            }
-            for r in pdf.itertuples()
-        ]
-        raw = build_warc_bytes(records)
-        if gz:
-            buf = io.BytesIO()
-            # mtime=0 keeps the 10-byte gzip header constant: identical
-            # input bytes -> identical file bytes across runs/retries
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as zf:
-                zf.write(raw)
-            raw = buf.getvalue()
         name = f"{prefix}-{seg:0{width}d}{ext}"
         final = os.path.join(out_dir, name)
         tmp = final + f".inprogress-{os.getpid()}"
+        # Stream record-by-record through the (optionally gzip) file
+        # handle: peak Python heap is O(one record), not O(segment) —
+        # a ~1 GB segment must not need 3-4 GB of task memory.
         with open(tmp, "wb") as f:
-            f.write(raw)
+            if gz:
+                # mtime=0 + filename="" keep the gzip header constant:
+                # over a NAMED file GzipFile would embed the temp name
+                # (which carries the executor worker's pid) in the FNAME
+                # field, making bytes differ across workers/retries.
+                # Record-at-a-time feeding is chunking-invariant in
+                # zlib, so rerun bytes still match.
+                sink = gzip.GzipFile(
+                    filename="", fileobj=f, mode="wb", mtime=0
+                )
+            else:
+                sink = f
+            for r in pdf.itertuples():
+                sink.write(
+                    build_warc_record(
+                        {
+                            "url": r.url,
+                            "ts": r.warc_ts.to_pydatetime(),
+                            "status": int(r.http_status),
+                            "content_type": r.content_type or "",
+                            "body": bytes(r.html)
+                            if r.html is not None
+                            else b"",
+                        }
+                    )
+                )
+            if gz:
+                sink.close()
+        nbytes = os.path.getsize(tmp)
         os.replace(tmp, final)  # atomic on POSIX: retries can't tear
         return pd.DataFrame(
-            {"warc_file": [final], "records": [len(pdf)], "bytes": [len(raw)]}
+            {"warc_file": [final], "records": [len(pdf)], "bytes": [nbytes]}
         )
 
     return staged.groupBy("segment").applyInPandas(

@@ -32,6 +32,7 @@ from typing import Callable, Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
 
 
 def corpus_fetcher(pages: DataFrame, broadcast_batch: bool = False):
@@ -68,34 +69,47 @@ def _default_fetch_fn(url: str) -> Optional[bytes]:
 
 def http_fetcher(
     fetch_fn: Callable[[str], Optional[bytes]] | None = None,
-    partitions_per_host: int = 1,
 ):
     """Production fetch stage: Arrow mapInPandas over the batch.
 
     Scale posture: ``repartition(host)`` gives each task complete hosts
-    (no host spans executors — politeness-safe concurrent fetching), the
-    task sorts its rows by (host, sched_ts, fetch_order) and calls
-    ``fetch_fn`` once per URL in schedule order. The html column is
-    appended in-task; nothing host-dim-sized moves. A task honoring
-    sched_ts (sleep-until) turns the engine's politeness CLOCK into real
-    rate limiting — the corpus twin ignores the clock because stored
-    pages need none.
+    (no host spans executors — politeness-safe concurrent fetching; this
+    is also why there is deliberately NO salting knob here: splitting
+    one host's queue across tasks would break its delay clock). The
+    batch is sorted within partitions by (host, sched_ts, fetch_order)
+    BEFORE entering Python — Arrow chunks a partition into multiple
+    frames (spark.sql.execution.arrow.maxRecordsPerBatch), and chunks
+    iterate in partition order, so a plan-level sortWithinPartitions is
+    the only way the schedule-order guarantee holds across chunk
+    boundaries; a per-chunk pandas sort would not. ``fetch_fn`` is then
+    called once per URL in schedule order. The html column is appended
+    in-task; nothing host-dim-sized moves. A task honoring sched_ts
+    (sleep-until) turns the engine's politeness CLOCK into real rate
+    limiting — the corpus twin ignores the clock because stored pages
+    need none.
 
     ``fetch_fn`` must be picklable (it ships to executors). None = the
     documented NotImplementedError stub."""
     fn = fetch_fn or _default_fetch_fn
 
     def fetch(batch: DataFrame) -> DataFrame:
-        out_schema = batch.schema.add("html", "binary")
+        # Build a fresh StructType: StructType.add mutates in place and
+        # DataFrame.schema is cached, so batch.schema.add(...) would
+        # permanently graft a phantom 'html' field onto `batch`.
+        out_schema = StructType(
+            list(batch.schema.fields) + [StructField("html", BinaryType())]
+        )
 
         def run(batches: Iterator) -> Iterator:
             for pdf in batches:
-                pdf = pdf.sort_values(
-                    ["host", "sched_ts", "fetch_order"], kind="mergesort"
-                )
+                pdf = pdf.copy()
                 pdf["html"] = [fn(u) for u in pdf["canon_url"]]
                 yield pdf
 
-        return batch.repartition("host").mapInPandas(run, out_schema)
+        return (
+            batch.repartition("host")
+            .sortWithinPartitions("host", "sched_ts", "fetch_order")
+            .mapInPandas(run, out_schema)
+        )
 
     return fetch

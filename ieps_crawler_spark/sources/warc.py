@@ -41,30 +41,38 @@ _CRLF = b"\r\n"
 
 # ------------------------------------------------------------------ writer
 
-def build_warc_bytes(records: list[dict]) -> bytes:
-    """Serialize response records to WARC/1.0 bytes. Each record dict:
+def build_warc_record(r: dict) -> bytes:
+    """Serialize ONE response record to WARC/1.0 bytes. Record dict:
     {url, ts (datetime), status (int), content_type, body (bytes)}.
-    Deterministic: records in list order, no UUIDs, no wall clock."""
+    Headers encode as UTF-8 (WARC/1.0 named fields are UTF-8): a raw
+    IRI url like http://obcina.si/občina/ must not poison a segment
+    task with UnicodeEncodeError. Content-Length counts BYTES, so the
+    payload boundary stays exact regardless of header width."""
+    http_head = (
+        f"HTTP/1.1 {r['status']} OK\r\n"
+        f"Content-Type: {r['content_type']}\r\n"
+        f"Content-Length: {len(r['body'])}\r\n\r\n"
+    ).encode("utf-8")
+    payload = http_head + r["body"]
+    ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {r['url']}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + payload + _CRLF + _CRLF
+
+
+def build_warc_bytes(records: list[dict]) -> bytes:
+    """Serialize response records to WARC/1.0 bytes (see
+    ``build_warc_record``). Deterministic: records in list order, no
+    UUIDs, no wall clock."""
     out = io.BytesIO()
     for r in records:
-        http_head = (
-            f"HTTP/1.1 {r['status']} OK\r\n"
-            f"Content-Type: {r['content_type']}\r\n"
-            f"Content-Length: {len(r['body'])}\r\n\r\n"
-        ).encode("ascii")
-        payload = http_head + r["body"]
-        ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
-        head = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {r['url']}\r\n"
-            f"WARC-Date: {ts}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("ascii")
-        out.write(head)
-        out.write(payload)
-        out.write(_CRLF + _CRLF)
+        out.write(build_warc_record(r))
     return out.getvalue()
 
 
@@ -85,7 +93,7 @@ def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
         head_end = data.find(_CRLF + _CRLF, pos)
         if head_end < 0:
             break
-        head = data[pos:head_end].decode("ascii", "replace")
+        head = data[pos:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             # resync: skip to the next record marker
@@ -121,7 +129,7 @@ def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
         http_end = payload.find(_CRLF + _CRLF)
         if http_end < 0 or not url:
             continue
-        http_lines = payload[:http_end].decode("ascii", "replace").split("\r\n")
+        http_lines = payload[:http_end].decode("utf-8", "replace").split("\r\n")
         parts = http_lines[0].split(" ")
         try:
             status = int(parts[1])

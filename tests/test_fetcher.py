@@ -76,3 +76,67 @@ def test_default_fetch_fn_is_a_documented_stub(spark):
 
     with pytest.raises(NotImplementedError):
         _default_fetch_fn("http://example.gov.si/")
+
+
+def test_schedule_order_survives_arrow_chunking(spark):
+    """A partition larger than one Arrow batch must still fetch each
+    host's URLs in (sched_ts, fetch_order) order: the sort has to be a
+    plan-level sortWithinPartitions, not a per-chunk pandas sort (chunks
+    iterate in partition order, so only a pre-sorted partition keeps the
+    guarantee across chunk boundaries)."""
+    import datetime as dt
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [
+        (
+            f"http://h{i % 3}.gov.si/p{i}/",
+            f"h{i % 3}.gov.si",
+            i,
+            t0 + dt.timedelta(seconds=i),
+        )
+        # deliberately interleaved host/sched order in the input
+        for i in reversed(range(60))
+    ]
+    batch = spark.createDataFrame(
+        rows, "canon_url string, host string, fetch_order long, "
+        "sched_ts timestamp",
+    )
+
+    counter = itertools.count()
+
+    def stamping_fetch(url):  # encodes per-worker call sequence
+        return str(next(counter)).encode()
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = (
+            http_fetcher(stamping_fetch)(batch)
+            .select(
+                "host", "sched_ts", "fetch_order",
+                F.decode("html", "UTF-8").cast("long").alias("seq"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(out) == 60 and len(by_host) == 3
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: (r.sched_ts, r.fetch_order))
+        seqs = [r.seq for r in rs]
+        assert seqs == sorted(seqs), (
+            f"{host} fetched out of schedule order: {seqs}"
+        )
+
+    # the phantom-column regression: building the output schema must not
+    # mutate the input DataFrame's cached schema (StructType.add mutates
+    # in place), so a second application still works
+    assert "html" not in batch.columns
+    assert http_fetcher(lambda u: None)(batch).count() == 60

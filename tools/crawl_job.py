@@ -92,21 +92,28 @@ def main(argv: list[str] | None = None) -> None:
 
         from ieps_crawler_spark.sinks.warc_sink import write_warc
 
-        pages = crawler.results().filter(F.col("page_type") == "HTML").select(
-            "url",
-            F.col("sched_ts").alias("warc_ts"),
-            "http_status",
-            F.lit("text/plain; charset=utf-8").alias("content_type"),
-            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
-            .alias("html"),
-        )
-        tot = write_warc(
-            pages, args.export_warc, n_segments=args.warc_segments
-        ).agg(F.sum("records").alias("r"), F.sum("bytes").alias("b")).first()
-        print(
-            f"exported WARC: {tot.r} records / {tot.b} bytes in "
-            f"{args.warc_segments} segments under {args.export_warc}"
-        )
+        res = crawler.results()
+        if res is None:
+            print("exported WARC: nothing to export (no crawl results)")
+        else:
+            pages = res.filter(F.col("page_type") == "HTML").select(
+                "url",
+                F.col("sched_ts").alias("warc_ts"),
+                "http_status",
+                F.lit("text/plain; charset=utf-8").alias("content_type"),
+                F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+                .alias("html"),
+            )
+            tot = write_warc(
+                pages, args.export_warc, n_segments=args.warc_segments
+            ).agg(
+                F.coalesce(F.sum("records"), F.lit(0)).alias("r"),
+                F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
+            ).first()
+            print(
+                f"exported WARC: {tot.r} records / {tot.b} bytes in "
+                f"{args.warc_segments} segments under {args.export_warc}"
+            )
 
     if args.publish_iceberg:
         # the tool-driven Iceberg path (catalog-detected): checkpoint
