@@ -1333,6 +1333,18 @@ def q_graph_diameter(spark, sf_dir):
     return approx_diameter(_toy_edges(spark, sf_dir))
 
 
+def q_graph_opic(spark, sf_dir):
+    """OPIC (Abiteboul et al., WWW 2003) — adaptive crawl-priority cash
+    diffusion in exact integer micro-cash (operators/opic.py): 2
+    simultaneous distribute-all steps with a virtual-root node for
+    dangling mass; history = importance estimate, cash = would-be fetch
+    priority. Oracle unrolls both steps with the same floor-div /
+    remainder-to-lowest-id arithmetic."""
+    from ieps_crawler_spark.operators.opic import opic_scores
+
+    return opic_scores(_toy_edges(spark, sf_dir), iterations=2)
+
+
 # -------------------------------------------------------------- events ops
 
 def q_events_window_agg(spark, sf_dir):
@@ -1647,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": q_graph_degree_stats,
         "graph_clustering": q_graph_clustering,
         "graph_diameter": q_graph_diameter,
+        "graph_opic": q_graph_opic,
         "text_bpe_tokens": q_text_bpe_tokens,
         "crawl_curation_pipeline": q_crawl_curation_pipeline,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -3450,6 +3463,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM e JOIN deg ON e.s = deg.s JOIN r2 p ON p.node_id = e.s
                 GROUP BY e.d) i ON n.node_id = i.node_id)
             SELECT node_id, round(pr, 6) AS pagerank FROM r3
+        """,
+        "graph_opic": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+              FROM lineitem),
+            nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            dims AS (SELECT count(*)::BIGINT AS n,
+                            min(node_id)::BIGINT AS m FROM nodes),
+            deg AS (SELECT s, count(*)::BIGINT AS dr FROM e GROUP BY s),
+            c0 AS (SELECT node_id, 1000000::BIGINT AS cash,
+                          0::BIGINT AS hist FROM nodes),
+            g1 AS (
+              SELECT c.node_id, c.cash, c.hist, coalesce(deg.dr, 0) AS dr,
+                     (c.cash // (coalesce(deg.dr, 0) + 1))::BIGINT AS share
+              FROM c0 c LEFT JOIN deg ON c.node_id = deg.s),
+            in1 AS (
+              SELECT e.d AS node_id, sum(g.share)::BIGINT AS recv
+              FROM e JOIN g1 g ON e.s = g.node_id GROUP BY e.d),
+            pot1 AS (
+              SELECT sum(g.cash - g.share * g.dr)::BIGINT AS pot FROM g1 g),
+            -- the virtual root starts with 0 cash, so step 1 adds no
+            -- rshare/rrem; its step-1 take (pot1) redistributes in step 2
+            c1 AS (
+              SELECT g.node_id, coalesce(i.recv, 0)::BIGINT AS cash,
+                     (g.hist + g.cash)::BIGINT AS hist
+              FROM g1 g LEFT JOIN in1 i ON g.node_id = i.node_id),
+            g2 AS (
+              SELECT c.node_id, c.cash, c.hist, coalesce(deg.dr, 0) AS dr,
+                     (c.cash // (coalesce(deg.dr, 0) + 1))::BIGINT AS share
+              FROM c1 c LEFT JOIN deg ON c.node_id = deg.s),
+            in2 AS (
+              SELECT e.d AS node_id, sum(g.share)::BIGINT AS recv
+              FROM e JOIN g2 g ON e.s = g.node_id GROUP BY e.d),
+            c2 AS (
+              SELECT g.node_id,
+                     (coalesce(i.recv, 0)
+                      + (SELECT pot FROM pot1) // (SELECT n FROM dims)
+                      + CASE WHEN g.node_id = (SELECT m FROM dims)
+                             THEN (SELECT pot FROM pot1) % (SELECT n FROM dims)
+                             ELSE 0 END)::BIGINT AS cash,
+                     (g.hist + g.cash)::BIGINT AS hist
+              FROM g2 g LEFT JOIN in2 i ON g.node_id = i.node_id)
+            SELECT node_id::BIGINT AS node_id, cash AS cash_mu,
+                   hist AS history_mu
+            FROM c2
         """,
         "graph_components": r"""
             WITH RECURSIVE e AS (
