@@ -1235,6 +1235,21 @@ def q_pipeline_mix_sources(spark, sf_dir):
     return mix_sources(docs, _MIX_WEIGHTS, "source", "doc_id")
 
 
+def q_pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance stats (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram bucket distributions fit on the English slice as the
+    TARGET vs the whole corpus as RAW, per-doc integer gram/count sums
+    hash-gated (the float log-weight follows the unigram_nll
+    convention: order-stabilized, pytest-checked, out of the gate)."""
+    from ieps_crawler_spark.operators.dsir import dsir_fit, dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    fit = dsir_fit(docs.filter(F.col("lang") == "en"), docs, n_buckets=10_000)
+    return dsir_weights(docs, fit, n_buckets=10_000).select(
+        "doc_id", "n_grams", "sum_t_cnt", "sum_r_cnt", "n_unseen_t"
+    )
+
+
 # ------------------------------------------------------------ sampling ops
 
 def q_sample_hash_split(spark, sf_dir):
@@ -1639,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decontaminate": q_pipeline_decontaminate,
         "pipeline_source_stats": q_pipeline_source_stats,
         "pipeline_mix_sources": q_pipeline_mix_sources,
+        "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_cms_users": q_sketch_cms_users,
         "sketch_hdr_lengths": q_sketch_hdr_lengths,
@@ -3401,6 +3417,54 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s, tk
         """,
         "pipeline_mix_sources": _mix_sources_oracle_sql(),
+        # DSIR replay: same md5-prefix bucket fold, unigrams via unnest,
+        # bigrams via the spans-oracle list_slice idiom; fit = one pass
+        # with a lang-gated sum (target = en slice of the same corpus,
+        # so every scored bucket exists in fit and the join is inner)
+        "pipeline_dsir_weights": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws,
+                     length(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g')) AS ln
+              FROM documents),
+            uni AS (
+              SELECT doc_id, lang, unnest(ws) AS g FROM w WHERE ln > 0),
+            bix AS (
+              SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE ln > 0 AND len(ws) >= 2),
+            bi AS (
+              SELECT doc_id, lang,
+                     array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+              FROM bix),
+            grams AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(g), 1, 8))::BIGINT % 10000)
+                       AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            fit AS (
+              SELECT bucket,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                       AS t_cnt,
+                     count(*)::BIGINT AS r_cnt
+              FROM grams GROUP BY bucket),
+            per AS (
+              SELECT g.doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(f.t_cnt)::BIGINT AS sum_t_cnt,
+                     sum(f.r_cnt)::BIGINT AS sum_r_cnt,
+                     sum(CASE WHEN f.t_cnt = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_t
+              FROM grams g JOIN fit f USING (bucket)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(p.sum_t_cnt, 0)::BIGINT AS sum_t_cnt,
+                   coalesce(p.sum_r_cnt, 0)::BIGINT AS sum_r_cnt,
+                   coalesce(p.n_unseen_t, 0)::BIGINT AS n_unseen_t
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         "sample_hash_split": _hash_split_oracle_sql(),
         "sample_deterministic": f"""
             SELECT doc_id FROM documents

@@ -170,18 +170,26 @@ def quality_gates_passed(col: str = "text") -> Column:
 
 # ------------------------------------------------------ corpus n-gram stats
 
-def word_ngrams(col: str = "text", n: int = 2) -> Column:
-    """array<string> of word n-grams over normalized text (lowercased,
-    whitespace-split). Empty array when the doc has fewer than n words.
-    Pure codegen (split/sequence/transform/slice) — no UDF."""
+def word_ngrams_sql(col: str = "text", n: int = 2) -> str:
+    """The raw SQL for word_ngrams — exposed so composers (e.g.
+    operators/dsir.gram_buckets) can splice it into larger expressions
+    without round-tripping a Column through catalyst's non-reparseable
+    pretty-printer."""
     norm = _norm_sql(col)
     # sequence(1, 0) would count DOWN ([1,0]) — guard docs shorter than n
-    return F.expr(
+    return (
         f"CASE WHEN length({norm}) = 0 OR size(split({norm}, ' ')) < {n} "
         f"THEN array() ELSE "
         f"transform(sequence(1, size(split({norm}, ' ')) - {n - 1}), "
         f"i -> array_join(slice(split({norm}, ' '), i, {n}), ' ')) END"
     )
+
+
+def word_ngrams(col: str = "text", n: int = 2) -> Column:
+    """array<string> of word n-grams over normalized text (lowercased,
+    whitespace-split). Empty array when the doc has fewer than n words.
+    Pure codegen (split/sequence/transform/slice) — no UDF."""
+    return F.expr(word_ngrams_sql(col, n))
 
 
 def top_ngrams(
