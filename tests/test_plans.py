@@ -246,3 +246,47 @@ def test_disc_quantiles_histogram_before_window(spark, sf_dir):
     # aggregate must be an input of the Window stage
     win_at = p.index("Window")
     assert "HashAggregate" in p[win_at:], p
+
+
+def test_opic_scores_plan_scale_safe(spark, sf_dir):
+    """OPIC: pure-JVM plan (no Python stages, no cartesian/BNLJ —
+    the root-share crossJoin is a broadcast of a 1-row aggregate) and
+    no global sort (the remainder goes to a precomputed scalar min-id,
+    not a window)."""
+    import __spark_entry__ as e
+    from ieps_crawler_spark.plans.audit import assert_scale_safe, plan_counts
+
+    df = e.q_graph_opic(spark, sf_dir)
+    assert_scale_safe(df, allow=("BroadcastNestedLoopJoin",))
+    # the only BNLJ-shaped node must be the 1-row root-share broadcast:
+    # no CartesianProduct, and zero Python stages
+    c = plan_counts(df)
+    assert c["python_stages"] == 0
+    assert c["global_sorts"] == 0
+
+
+def test_dsir_weights_plan_scale_safe(spark, sf_dir):
+    """DSIR scoring: featurization is codegen (zero Python stages),
+    the fit join is a broadcast (bounded by n_buckets), no global
+    sort anywhere."""
+    import __spark_entry__ as e
+    from ieps_crawler_spark.plans.audit import assert_scale_safe
+
+    df = e.q_pipeline_dsir_weights(spark, sf_dir)
+    c = assert_scale_safe(df)
+    assert c["python_stages"] == 0
+    assert c["global_sorts"] == 0
+    assert c["broadcast_hash_joins"] >= 1  # the n_buckets-bounded fit join
+
+
+def test_dsir_resample_plan_is_topk_not_global_sort(spark):
+    """Gumbel-top-k must plan as TakeOrderedAndProject, never a
+    range-partitioned total sort."""
+    from ieps_crawler_spark.operators.dsir import dsir_resample
+    from ieps_crawler_spark.plans.audit import plan_text
+
+    w = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, weight double"
+    )
+    p = plan_text(dsir_resample(w, 5))
+    assert "TakeOrderedAndProject" in p
