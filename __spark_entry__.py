@@ -3530,8 +3530,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_opic": r"""
             WITH e AS (
-              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
-              FROM lineitem),
+              SELECT DISTINCT s, d FROM (
+                SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+                FROM lineitem)
+              WHERE s <> d),
             nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
             dims AS (SELECT count(*)::BIGINT AS n,
                             min(node_id)::BIGINT AS m FROM nodes),

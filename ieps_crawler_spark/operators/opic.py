@@ -157,9 +157,17 @@ def opic_scores(
     """
     if iterations < 1:
         raise ValueError("opic_scores needs iterations >= 1")
-    e = edges.select(
-        F.col(src).alias("s").cast("long"), F.col(dst).alias("d").cast("long")
-    ).dropDuplicates(["s", "d"])
+    e = (
+        edges.select(
+            F.col(src).alias("s").cast("long"),
+            F.col(dst).alias("d").cast("long"),
+        )
+        # self-loops are ignored (OPIC paper semantics: a page cannot
+        # pay itself); a node linking ONLY to itself becomes dangling
+        # and routes everything to the virtual root
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates(["s", "d"])
+    )
     cash = _nodes(e, "s", "d").select(
         "node_id",
         F.lit(MICRO).cast("long").alias("cash_mu"),
@@ -174,7 +182,17 @@ def opic_scores(
     dims = _nodes(e, "s", "d").agg(
         F.count(F.lit(1)).alias("n"), F.min("node_id").alias("m")
     ).collect()[0]  # two scalars, once, outside the loop
+    if int(dims["n"] or 0) == 0:
+        # empty graph (e.g. a wave that extracted zero non-self links):
+        # nothing to score — return the empty result, not a crash
+        return cash.filter(F.col("node_id") != VIRTUAL_ID).limit(0)
     n_nodes, min_id = int(dims["n"]), int(dims["m"])
+    if min_id <= VIRTUAL_ID:
+        raise ValueError(
+            f"node id {min_id} collides with or sorts below the virtual "
+            f"root id {VIRTUAL_ID}; remap node ids to >= {VIRTUAL_ID + 1} "
+            "(e.g. pmod a signed hash) before calling opic_scores"
+        )
     for _ in range(iterations):
         cash = _distribute(cash, e, "s", "d", n_nodes, min_id)
         # keep lineage flat across fixed small iteration counts, same
@@ -213,9 +231,13 @@ def opic_update(
     a full replacement state table suitable for the engine's snapshot
     sinks.
     """
-    links = wave_links.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).dropDuplicates(["_s", "_d"])
+    links = (
+        wave_links.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        # a page cannot pay itself: a fetched page whose only links are
+        # self-links banks its cash like the no-out-links case
+        .filter(F.col("_s") != F.col("_d"))
+        .dropDuplicates(["_s", "_d"])
+    )
     f = fetched.select(F.col(id_col).alias("_s")).distinct()
     links = links.join(f, "_s")  # only links out of this wave's fetches
 
@@ -292,12 +314,21 @@ def opic_host_lanes(
     """Bucket hosts into ``n_lanes`` priority lanes by total OPIC cash,
     shaped for the wave's ``priority_table`` hook ((host, priority),
     lower = fetched earlier under a capped wave). Lane 0 = the
-    top-cash quantile. ntile is deterministic given the (cash desc,
-    host) total order.
+    top-cash quantile band.
 
-    Scale posture: one aggregate over the cash table + one ntile window
-    over the HOST dim (bounded by distinct hosts, the same cardinality
-    the politeness scheduler already windows over).
+    Lanes come from QUANTILE THRESHOLDS (mergeable approx_percentile
+    sketch + a CASE), not ntile: an unpartitioned ranking window would
+    funnel every distinct host through ONE task — the exact single-task
+    sort the host_rank lane query refuses ("no global sort/ntile") and
+    a real bottleneck at web scale (O(10^8) hosts). Consequences vs
+    ntile: hosts TIED on cash share a lane (fine for a scheduling
+    hint), and at huge host counts the sketch can flip hosts within one
+    quantile's error band near a boundary — by design, a lane is a
+    coarse band, not a ranking.
+
+    Scale posture: one map-side-combining aggregate over the cash
+    table + one fixed-memory percentile sketch; the collected
+    thresholds are ``n_lanes - 1`` scalars (bounded driver step).
     """
     if n_lanes < 1:
         raise ValueError("opic_host_lanes needs n_lanes >= 1")
@@ -306,9 +337,17 @@ def opic_host_lanes(
         .groupBy("host")
         .agg(F.sum("cash_mu").alias("host_cash_mu"))
     )
-    w = Window.orderBy(F.desc("host_cash_mu"), F.asc("host"))
-    return per_host.select(
-        "host",
-        (F.ntile(n_lanes).over(w) - 1).alias("priority"),
-        "host_cash_mu",
-    )
+    if n_lanes == 1:
+        return per_host.select(
+            "host", F.lit(0).alias("priority"), "host_cash_mu"
+        )
+    qs = [1.0 - i / n_lanes for i in range(1, n_lanes)]  # hi -> lo cuts
+    cuts = per_host.agg(
+        F.percentile_approx(
+            "host_cash_mu", F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("c")
+    ).collect()[0]["c"]
+    lane = F.lit(n_lanes - 1)
+    for i in reversed(range(n_lanes - 1)):  # lowest cut first
+        lane = F.when(F.col("host_cash_mu") >= int(cuts[i]), i).otherwise(lane)
+    return per_host.select("host", lane.alias("priority"), "host_cash_mu")

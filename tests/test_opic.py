@@ -36,23 +36,53 @@ def test_opic_scores_hand_computed(spark):
 
 
 def test_opic_scores_conserves_total_cash(spark):
-    for k in (1, 3):
-        res = opic_scores(_edges(spark), iterations=k)
-        circulating = res.agg(F.sum("cash_mu")).collect()[0][0]
-        # the virtual root holds the rest; after any k the REAL nodes'
-        # cash plus the root's equals 3 * MICRO. Recompute the root's
-        # balance as the conservation residue and check it's sane.
-        assert 0 <= circulating <= 3 * MICRO
+    """Drive _distribute directly (it keeps the virtual-root row the
+    public API drops) and assert TOTAL cash — real nodes plus root —
+    equals 3 * MICRO after every one of 3 chained steps."""
+    from ieps_crawler_spark.operators.opic import VIRTUAL_ID, _distribute
+
+    e = _edges(spark).selectExpr("from_id as s", "to_id as d")
+    cash = spark.createDataFrame(
+        [(1, MICRO, 0), (2, MICRO, 0), (3, MICRO, 0), (VIRTUAL_ID, 0, 0)],
+        "node_id long, cash_mu long, history_mu long",
+    )
+    for _ in range(3):
+        cash = _distribute(cash, e, "s", "d", n_nodes=3, min_id=1)
+        assert cash.agg(F.sum("cash_mu")).collect()[0][0] == 3 * MICRO
     # k=2 exact split known from the hand computation: root holds 1e6
     res2 = opic_scores(_edges(spark), iterations=2)
     assert res2.agg(F.sum("cash_mu")).collect()[0][0] == 2 * MICRO
 
 
-def test_opic_scores_rejects_zero_iterations(spark):
+def test_opic_scores_rejects_zero_iterations_and_bad_ids(spark):
     import pytest
 
     with pytest.raises(ValueError):
         opic_scores(_edges(spark), iterations=0)
+    # node ids at/below the virtual root id must be rejected loudly
+    bad = spark.createDataFrame([(-1, 2)], "from_id long, to_id long")
+    with pytest.raises(ValueError, match="virtual"):
+        opic_scores(bad, iterations=1)
+
+
+def test_opic_scores_empty_and_selfloop_only_graphs(spark):
+    empty = spark.createDataFrame([], "from_id long, to_id long")
+    assert opic_scores(empty, iterations=2).count() == 0
+    # self-loops are dropped; a graph of ONLY self-loops is empty too
+    loops = spark.createDataFrame([(5, 5)], "from_id long, to_id long")
+    assert opic_scores(loops, iterations=1).count() == 0
+
+
+def test_opic_scores_selfloop_ignored(spark):
+    # adding a self-loop must not change anyone's scores
+    base = opic_scores(_edges(spark), iterations=2).collect()
+    withloop = opic_scores(
+        _edges(spark).union(
+            spark.createDataFrame([(2, 2)], "from_id long, to_id long")
+        ),
+        iterations=2,
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, withloop))
 
 
 def test_opic_update_distributes_wave_cash(spark):
@@ -89,6 +119,22 @@ def test_opic_update_dangling_fetch_banks_cash(spark):
     assert [(r["url"], r["cash_mu"], r["history_mu"]) for r in got] == [
         ("A", 0, 705)
     ]
+
+
+def test_opic_update_selfloop_banks_like_dangling(spark):
+    cash = spark.createDataFrame(
+        [("A", 800, 0)], "url string, cash_mu long, history_mu long"
+    )
+    links = spark.createDataFrame(
+        [("A", "A"), ("A", "B")], "from_url string, to_url string"
+    )
+    fetched = spark.createDataFrame([("A",)], "url string")
+    got = {
+        r["url"]: (r["cash_mu"], r["history_mu"])
+        for r in opic_update(cash, links, fetched).collect()
+    }
+    # the self-link is dropped: B gets ALL 800, nothing strands on A
+    assert got == {"A": (0, 800), "B": (800, 0)}
 
 
 def test_opic_update_ignores_links_from_unfetched(spark):

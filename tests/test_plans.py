@@ -265,6 +265,25 @@ def test_opic_scores_plan_scale_safe(spark, sf_dir):
     assert c["global_sorts"] == 0
 
 
+def test_opic_host_lanes_plan_has_no_global_sort(spark):
+    """Lanes come from percentile thresholds, never an unpartitioned
+    ntile/rank window (single-task sort over every distinct host)."""
+    from pyspark.sql import functions as F
+
+    from ieps_crawler_spark.operators.opic import opic_host_lanes
+    from ieps_crawler_spark.plans.audit import plan_counts
+
+    cash = spark.createDataFrame(
+        [(f"http://h{i}.si/", 100 + i, 0) for i in range(20)],
+        "url string, cash_mu long, history_mu long",
+    )
+    lanes = opic_host_lanes(
+        cash, F.parse_url(F.col("url"), F.lit("HOST")), n_lanes=4
+    )
+    c = plan_counts(lanes)
+    assert c["global_sorts"] == 0 and c["python_stages"] == 0
+
+
 def test_dsir_weights_plan_scale_safe(spark, sf_dir):
     """DSIR scoring: featurization is codegen (zero Python stages),
     the fit join is a broadcast (bounded by n_buckets), no global
