@@ -174,14 +174,27 @@ def word_ngrams_sql(col: str = "text", n: int = 2) -> str:
     """The raw SQL for word_ngrams — exposed so composers (e.g.
     operators/dsir.gram_buckets) can splice it into larger expressions
     without round-tripping a Column through catalyst's non-reparseable
-    pretty-printer."""
+    pretty-printer.
+
+    The token array is bound ONCE per row through a 1-element
+    transform(array(...), w -> ...) wrapper: codegen does not
+    common-subexpression-eliminate across lambda calls, so inlining
+    split(regexp_replace(...)) into the per-position lambda re-ran the
+    regexp + split for EVERY gram position — O(words^2) regexp work per
+    document (measured: the sf0.1 explode dropped ~3x when the binding
+    landed). ``w`` is a lambda variable, so references to it inside the
+    inner lambda are per-row reads, not recomputation.
+    """
     norm = _norm_sql(col)
-    # sequence(1, 0) would count DOWN ([1,0]) — guard docs shorter than n
+    # sequence(1, 0) would count DOWN ([1,0]) — guard docs shorter than
+    # n; split('') yields [''], caught by the single-empty-token clause
     return (
-        f"CASE WHEN length({norm}) = 0 OR size(split({norm}, ' ')) < {n} "
+        f"flatten(transform(array(split({norm}, ' ')), w -> "
+        f"CASE WHEN size(w) < {n} "
+        f"OR (size(w) = 1 AND length(element_at(w, 1)) = 0) "
         f"THEN array() ELSE "
-        f"transform(sequence(1, size(split({norm}, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split({norm}, ' '), i, {n}), ' ')) END"
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> array_join(slice(w, i, {n}), ' ')) END))"
     )
 
 
