@@ -93,11 +93,21 @@ def fingerprint(col: str = "text") -> Column:
 def rolling_fingerprints(col: str = "text", window: int = 32, stride: int = 16) -> Column:
     """Winnowing-style rolling fingerprints: md5 of each stride-aligned
     character window over normalized text (array<string>). Used for
-    partial-overlap detection; not SQL-oracled (array construction)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
-    return F.expr(
-        f"transform(sequence(1, greatest(1, length({_norm_sql(col)}) - {window - 1}), {stride}), "
-        f"i -> substring(md5(substring({_norm_sql(col)}, i, {window})), 1, 8))"
+    partial-overlap detection; not SQL-oracled (array construction).
+
+    The normalized text is bound once per row through the 1-element
+    transform wrapper (same fix as word_ngrams_sql): inlining the
+    regexp_replace into the per-window lambda re-normalized the WHOLE
+    document at every window position — O(positions × doc_len) regexp
+    work, ruinous on large web pages."""
+    return F.element_at(
+        F.expr(
+            f"transform(array({_norm_sql(col)}), t -> "
+            f"transform(sequence(1, greatest(1, length(t) - {window - 1}), "
+            f"{stride}), "
+            f"i -> substring(md5(substring(t, i, {window})), 1, 8)))"
+        ),
+        1,
     )
 
 
