@@ -1360,6 +1360,29 @@ def q_graph_opic(spark, sf_dir):
     return opic_scores(_toy_edges(spark, sf_dir), iterations=2)
 
 
+def q_graph_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) 2-round neighborhood sketches over
+    the 20k-node web-density graph (same edge space as graph_clustering
+    — the shared 1k toy graph densifies toward complete with SF, and
+    ball sketches on a near-complete graph all saturate instantly):
+    per-(node, r) exact-integer HLL register aggregates + the raw
+    floor-divided estimate. The float small-range-corrected ``ball_lc``
+    and the derived effective-diameter / harmonic-centrality surfaces
+    are pytest-verified (operators/hyperball.py), not value-hashed —
+    ln() stays out of the hashed contract (stats.py convention)."""
+    from ieps_crawler_spark.operators.hyperball import hyperball
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(20_000)).alias("from_id"),
+        F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(20_000))
+        .alias("to_id"),
+    )
+    return hyperball(edges, radius=2).select(
+        "node_id", "r", "harm_num", "n_zero_buckets", "ball_est"
+    )
+
+
 # -------------------------------------------------------------- events ops
 
 def q_events_window_agg(spark, sf_dir):
@@ -1676,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_diameter": q_graph_diameter,
         "graph_opic": q_graph_opic,
+        "graph_hyperball": q_graph_hyperball,
         "text_bpe_tokens": q_text_bpe_tokens,
         "crawl_curation_pipeline": q_crawl_curation_pipeline,
         "crawl_cdx_index": q_crawl_cdx_index,
@@ -1836,6 +1860,70 @@ def _hll_oracle_sql() -> str:
                floor({alpha_num!r} / e.harm_num)::BIGINT AS hll_est,
                x.exact_users
         FROM est e JOIN ex x USING (event_type)
+    """
+
+
+def _hyperball_oracle_sql(rounds: int = 2) -> str:
+    """DuckDB twin of operators.hyperball (bucket_hex=2, rank_hex=12):
+    initial per-node register from md5(node_id), then ``rounds`` of
+    sketch relaxation (union own registers with successors', per-bucket
+    max), then the stats.py estimate formula per (node, r). Same
+    hex→bit expansion and floor(double-literal / exact-int) as the
+    hll_users oracle."""
+    m, bucket_hex, rank_hex = 256, 2, 12
+    w = rank_hex * 4
+    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha_num = alpha * m * m * float(1 << (w + 1))
+    bits = (
+        f"translate(substr(h, {bucket_hex + 1}, {rank_hex}), "
+        f"'0123456789abcdef', 'ABCDEFGHIJKLMNOP')"
+    )
+    for i, p in enumerate("ABCDEFGHIJKLMNOP"):
+        bits = f"replace({bits}, '{p}', '{format(i, '04b')}')"
+    relax = "".join(
+        f"""
+        s{r} AS (
+          SELECT node_id, bucket, max(register) AS register FROM (
+            SELECT node_id, bucket, register FROM s{r - 1}
+            UNION ALL
+            SELECT e.s AS node_id, p.bucket, p.register
+            FROM e JOIN s{r - 1} p ON p.node_id = e.d)
+          GROUP BY node_id, bucket),"""
+        for r in range(1, rounds + 1)
+    )
+    ests = "\n            UNION ALL\n".join(
+        f"""
+            SELECT node_id, {r} AS r,
+                   (s_obs + ({m} - n_obs) * (1::BIGINT << {w + 1}))::BIGINT
+                     AS harm_num,
+                   ({m} - n_obs)::BIGINT AS n_zero_buckets,
+                   floor({alpha_num!r} /
+                         (s_obs + ({m} - n_obs) * (1::BIGINT << {w + 1})))
+                     ::BIGINT AS ball_est
+            FROM (
+              SELECT node_id, count(*) AS n_obs,
+                     sum(1::BIGINT << ({w + 1} - register))::BIGINT AS s_obs
+              FROM s{r} GROUP BY node_id)"""
+        for r in range(rounds + 1)
+    )
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT l_orderkey % 20000 AS s,
+                   (l_partkey * 7 + l_suppkey) % 20000 AS d
+            FROM lineitem)
+          WHERE s <> d),
+        nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+        k AS (SELECT node_id, md5(node_id::VARCHAR) AS h FROM nodes),
+        s0 AS (
+          SELECT node_id, substr(h, 1, {bucket_hex}) AS bucket,
+                 CASE WHEN strpos({bits}, '1') = 0 THEN {w + 1}
+                      ELSE strpos({bits}, '1') END AS register
+          FROM k),{relax}
+        est AS ({ests})
+        SELECT node_id::BIGINT AS node_id, r::BIGINT AS r, harm_num,
+               n_zero_buckets, ball_est
+        FROM est
     """
 
 
@@ -3575,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
                    hist AS history_mu
             FROM c2
         """,
+        "graph_hyperball": _hyperball_oracle_sql(),
         "graph_components": r"""
             WITH RECURSIVE e AS (
               SELECT DISTINCT l_orderkey % 1000 AS a, l_partkey % 1000 AS b

@@ -309,3 +309,15 @@ def test_dsir_resample_plan_is_topk_not_global_sort(spark):
     )
     p = plan_text(dsir_resample(w, 5))
     assert "TakeOrderedAndProject" in p
+
+
+def test_hyperball_plan_scale_safe(spark, sf_dir):
+    """HyperBall rounds: pure-JVM register relaxation — zero Python
+    stages, no cartesian/BNLJ, no global sort (merge = hash aggregate,
+    estimate = hash aggregate)."""
+    import __spark_entry__ as e
+    from ieps_crawler_spark.plans.audit import assert_scale_safe
+
+    c = assert_scale_safe(e.q_graph_hyperball(spark, sf_dir))
+    assert c["python_stages"] == 0
+    assert c["global_sorts"] == 0
