@@ -1907,13 +1907,15 @@ def _hyperball_oracle_sql(rounds: int = 2) -> str:
         for r in range(rounds + 1)
     )
     return f"""
-        WITH e AS (
-          SELECT DISTINCT s, d FROM (
-            SELECT l_orderkey % 20000 AS s,
-                   (l_partkey * 7 + l_suppkey) % 20000 AS d
-            FROM lineitem)
-          WHERE s <> d),
-        nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+        WITH base AS (
+          SELECT l_orderkey % 20000 AS s,
+                 (l_partkey * 7 + l_suppkey) % 20000 AS d
+          FROM lineitem),
+        -- nodes come from the RAW pairs: a self-loop never relaxes but
+        -- its endpoint still has a singleton ball
+        nodes AS (SELECT s AS node_id FROM base
+                  UNION SELECT d FROM base),
+        e AS (SELECT DISTINCT s, d FROM base WHERE s <> d),
         k AS (SELECT node_id, md5(node_id::VARCHAR) AS h FROM nodes),
         s0 AS (
           SELECT node_id, substr(h, 1, {bucket_hex}) AS bucket,

@@ -50,27 +50,32 @@ def hyperball(
     dst: str = "to_id",
     bucket_hex: int = 2,
     rank_hex: int = 12,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """Run ``radius`` HyperBall rounds over the directed graph. Returns
-    (node_id, r, harm_num, n_zero_buckets, ball_est) for every node and
-    every r in [0, radius] — ball_est estimates |B(node, r)| (r=0 rows
-    estimate the singleton, a useful calibration anchor). Self-loops
-    are ignored (they never change a ball)."""
+    (node_id, r, harm_num, n_zero_buckets, ball_est, ball_lc) for every
+    node and every r in [0, radius] — ball_est estimates |B(node, r)|
+    (r=0 rows estimate the singleton, a useful calibration anchor).
+    Self-loops are ignored for relaxation but their endpoints stay in
+    the node set (a self-loop never changes a ball; the node still HAS
+    a singleton ball). ``checkpoint_rounds=False`` skips the per-round
+    lineage truncation so plan audits can see the whole tree — leave it
+    on for real runs."""
     if radius < 1:
         raise ValueError("hyperball needs radius >= 1")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("s"),
-            F.col(dst).cast("long").alias("d"),
-        )
-        .filter(F.col("s") != F.col("d"))
-        .dropDuplicates(["s", "d"])
+    base = edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
     )
     nodes = (
-        e.select(F.col("s").alias("node_id"))
-        .union(e.select(F.col("d").alias("node_id")))
+        base.select(F.col("s").alias("node_id"))
+        .union(base.select(F.col("d").alias("node_id")))
         .distinct()
     )
+    e = base.filter(F.col("s") != F.col("d")).dropDuplicates(["s", "d"])
+    # every round joins e and re-derives lineage through it — cache once
+    # and release after the result is materialized (graph.pagerank idiom)
+    e.cache()
     state = hll_registers(
         nodes, ["node_id"], "node_id", bucket_hex, rank_hex
     )
@@ -104,16 +109,26 @@ def hyperball(
             .alias("ball_lc"),
         )
 
-    out = snap(state, 0)
-    for r in range(1, radius + 1):
-        moved = e.join(state, e["d"] == state["node_id"]).select(
-            F.col("s").alias("node_id"), "bucket", "register"
-        )
-        state = hll_merge(
-            state.select("node_id", "bucket", "register").unionByName(moved),
-            ["node_id"],
-        ).localCheckpoint(eager=False)
-        out = out.unionByName(snap(state, r))
+    try:
+        out = snap(state, 0)
+        for r in range(1, radius + 1):
+            moved = e.join(state, e["d"] == state["node_id"]).select(
+                F.col("s").alias("node_id"), "bucket", "register"
+            )
+            state = hll_merge(
+                state.select("node_id", "bucket", "register")
+                .unionByName(moved),
+                ["node_id"],
+            )
+            if checkpoint_rounds:
+                state = state.localCheckpoint(eager=False)
+            out = out.unionByName(snap(state, r))
+        if checkpoint_rounds:
+            # materialize while e is cached; callers get a lineage-free
+            # result and the edge cache is released
+            out = out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
     return out
 
 
@@ -131,6 +146,8 @@ def effective_diameter(hb: DataFrame, q: float = 0.9) -> tuple[int, bool]:
     relative over the last round) — if it hadn't, the configured radius
     was too small and the value is only a lower bound. Driver-side on
     radius+1 rows (bounded)."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
     rows = sorted(
         neighborhood_function(hb).collect(), key=lambda x: x["r"]
     )

@@ -137,3 +137,22 @@ def test_hyperball_selfloop_invariance_and_radius_guard(spark):
     assert base == withloop
     with pytest.raises(ValueError):
         hyperball(_path(spark), radius=0)
+    with pytest.raises(ValueError, match="q must be"):
+        effective_diameter(hyperball(_path(spark), radius=1), q=1.5)
+
+
+def test_hyperball_selfloop_only_node_keeps_singleton_ball(spark):
+    """A node whose ONLY edge is a self-loop stays in the node set with
+    a frozen singleton ball at every radius."""
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 3)], "from_id long, to_id long"
+    )
+    got = {
+        (r["node_id"], r["r"]): r["ball_est"]
+        for r in hyperball(edges, radius=2).collect()
+    }
+    est3 = _py_est([3])[2]
+    assert got[(3, 0)] == est3 and got[(3, 1)] == est3 and got[(3, 2)] == est3
+    assert {(n, r) for n, r in got} == {
+        (n, r) for n in (1, 2, 3) for r in (0, 1, 2)
+    }

@@ -311,13 +311,20 @@ def test_dsir_resample_plan_is_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_hyperball_plan_scale_safe(spark, sf_dir):
+def test_hyperball_plan_scale_safe(spark):
     """HyperBall rounds: pure-JVM register relaxation — zero Python
     stages, no cartesian/BNLJ, no global sort (merge = hash aggregate,
-    estimate = hash aggregate)."""
-    import __spark_entry__ as e
+    estimate = hash aggregate). checkpoint_rounds=False so the audit
+    sees the FULL round lineage — the default per-round localCheckpoint
+    replaces each round with a Scan ExistingRDD, which would make this
+    assertion vacuous."""
+    from ieps_crawler_spark.operators.hyperball import hyperball
     from ieps_crawler_spark.plans.audit import assert_scale_safe
 
-    c = assert_scale_safe(e.q_graph_hyperball(spark, sf_dir))
+    edges = spark.range(500).selectExpr(
+        "id % 50 as from_id", "(id * 7 + 3) % 50 as to_id"
+    )
+    hb = hyperball(edges, radius=2, checkpoint_rounds=False)
+    c = assert_scale_safe(hb)
     assert c["python_stages"] == 0
     assert c["global_sorts"] == 0
