@@ -1118,6 +1118,79 @@ def q_text_top_ngrams(spark, sf_dir):
     return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=25)
 
 
+def q_crawl_pld_extract(spark, sf_dir):
+    """Registrable-domain (pay-level-domain) extraction, the politeness/
+    trap-detection key the reference lacks (Canonical.scala:61-67 keys
+    its site table on the raw host, so every subdomain gets its own
+    politeness budget): Public-Suffix-List longest-match in pure
+    codegen. Hosts are constructed per document to exercise every rule —
+    second-level registries (gov.si, co.uk, ac.jp), plain TLDs,
+    multi-label subdomains, an unknown TLD (PSL '*' fallback to last two
+    labels), a bare public suffix (NULL pld), and mixed case. The oracle
+    replays the identical longest-suffix-match algorithm in DuckDB."""
+    from ieps_crawler_spark.functions.domains import (
+        public_suffix,
+        registrable_domain,
+    )
+
+    d = F.col("doc_id").cast("string")
+    host = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(6)) == 0,
+               F.concat(F.lit("www.site"), d, F.lit(".gov.si")))
+        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 1,
+              F.concat(F.lit("sub.Blog"), d, F.lit(".co.uk")))
+        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 2,
+              F.concat(F.lit("a.b.node"), d, F.lit(".ac.jp")))
+        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 3,
+              F.concat(F.lit("site"), d, F.lit(".com")))
+        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 4,
+              F.concat(F.lit("host"), d, F.lit(".weird")))
+        .otherwise(F.lit("gov.si"))
+    )
+    hosts = _read(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host")
+    )
+    return hosts.select(
+        "doc_id",
+        "host",
+        public_suffix("host").alias("pub_suffix"),
+        registrable_domain("host").alias("pld"),
+    )
+
+
+def q_text_main_content(spark, sf_dir):
+    """jusText-style main-content extraction (boilerplate removal): each
+    document becomes a 5-block page — nav chrome, a stopword-dense prose
+    paragraph, a headline-length 'near' block beside it (rescued by the
+    context pass), a too-short block, and an isolated 'near' block that
+    stays boilerplate. The md5 of the extracted main text proves
+    byte-exact block selection + ordering against the oracle, which
+    replays the full classifier (token counts, stopword densities,
+    length gates, neighbor smoothing) in DuckDB SQL."""
+    from ieps_crawler_spark.operators.text import extract_main_text
+
+    t = F.col("text")
+    blocks = F.array(
+        F.lit("home | about | contact | login"),
+        F.concat(
+            F.lit("the data of the corpus and the value is that for "),
+            F.substring(t, 1, 64),
+        ),
+        F.concat(F.lit("key notes of the "), F.substring(t, 1, 12)),
+        F.lit("short"),
+        F.concat(F.lit("value table of the "), F.substring(t, 33, 12)),
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", blocks.alias("blocks")
+    )
+    return extract_main_text(docs).select(
+        "doc_id",
+        "n_blocks",
+        "n_good",
+        F.md5(F.col("main_text")).alias("main_md5"),
+    )
+
+
 def q_crawl_cdx_index(spark, sf_dir):
     """CDX-style capture index over a synthetic capture log: SURT urlkey
     (lowercase, scheme/port/fragment/www. dropped, host labels reversed,
@@ -1703,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "crawl_curation_pipeline": q_crawl_curation_pipeline,
         "crawl_cdx_index": q_crawl_cdx_index,
+        "crawl_pld_extract": q_crawl_pld_extract,
+        "text_main_content": q_text_main_content,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -1761,6 +1836,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SL_PAT = r"\b(in|je|na|za|se|da|so|ki|pri|tudi)\b"
 _EN_PAT = r"\b(the|and|of|to|in|is|that|for|with|as)\b"
+
+
+def _pld_oracle_sql() -> str:
+    """DuckDB twin of functions.domains: constructs the same per-doc
+    hosts, then replays the PSL longest-suffix-match generically
+    (list_transform over all label-suffixes, filter by the identical
+    vendored suffix set, last match = longest) rather than predicting
+    outputs by construction."""
+    from ieps_crawler_spark.functions.domains import PUBLIC_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in sorted(set(PUBLIC_SUFFIXES)))
+    return rf"""
+        WITH hosts AS (
+          SELECT doc_id,
+                 CASE (doc_id % 6)
+                   WHEN 0 THEN 'www.site' || doc_id || '.gov.si'
+                   WHEN 1 THEN 'sub.Blog' || doc_id || '.co.uk'
+                   WHEN 2 THEN 'a.b.node' || doc_id || '.ac.jp'
+                   WHEN 3 THEN 'site' || doc_id || '.com'
+                   WHEN 4 THEN 'host' || doc_id || '.weird'
+                   ELSE 'gov.si'
+                 END AS host
+          FROM documents),
+        lab AS (
+          SELECT doc_id, host,
+                 string_split(lower(host), '.') AS labels,
+                 len(string_split(lower(host), '.')) AS n
+          FROM hosts),
+        m AS (
+          SELECT doc_id, host, labels, n,
+                 list_filter(
+                   list_transform(range(1, n + 1),
+                     k -> array_to_string(
+                            list_slice(labels, n - k + 1, n), '.')),
+                   s -> list_contains([{sufs}], s)) AS matched
+          FROM lab),
+        ps AS (
+          SELECT doc_id, host, labels, n,
+                 CASE WHEN len(matched) > 0
+                      THEN matched[len(matched)] END AS pub_suffix
+          FROM m),
+        f AS (
+          SELECT doc_id, host, labels, n, pub_suffix,
+                 coalesce(len(string_split(pub_suffix, '.')), 1) + 1 AS take
+          FROM ps)
+        SELECT doc_id, host, pub_suffix,
+               CASE WHEN n >= take AND n >= 2
+                    THEN array_to_string(
+                           list_slice(labels, n - take + 1, n), '.')
+               END AS pld
+        FROM f
+    """
+
+
+def _main_content_oracle_sql() -> str:
+    """DuckDB twin of operators.text.extract_main_text: builds the same
+    5-block page per document, replays the block classifier (token
+    count, combined-stopword density, length gates) and the one-pass
+    neighbor smoothing, and reassembles the main text for the md5."""
+    from ieps_crawler_spark.operators.text import (
+        BLOCK_GOOD_LEN,
+        BLOCK_GOOD_STOP,
+        BLOCK_MIN_TOKENS,
+        BLOCK_NEAR_STOP,
+        EN_STOPWORDS,
+        SL_STOPWORDS,
+    )
+
+    pat = r"\b(" + "|".join(SL_STOPWORDS + EN_STOPWORDS) + r")\b"
+    toks = (
+        "CASE WHEN length(trim(x)) = 0 THEN 0 "
+        r"ELSE len(regexp_split_to_array(trim(x), '\s+')) END"
+    )
+    dens = (
+        f"len(regexp_extract_all(lower(x), '{pat}')) * 1.0 / "
+        f"nullif(({toks}), 0)"
+    )
+    return rf"""
+        WITH b AS (
+          SELECT doc_id, [
+            'home | about | contact | login',
+            'the data of the corpus and the value is that for '
+              || substr(text, 1, 64),
+            'key notes of the ' || substr(text, 1, 12),
+            'short',
+            'value table of the ' || substr(text, 33, 12)
+          ] AS blocks
+          FROM documents),
+        lab0 AS (
+          SELECT doc_id, blocks,
+            list_transform(blocks, x -> CASE
+              WHEN ({toks}) < {BLOCK_MIN_TOKENS} THEN 'bad'
+              WHEN ({dens}) >= {BLOCK_GOOD_STOP}
+                   AND length(x) >= {BLOCK_GOOD_LEN} THEN 'good'
+              WHEN ({dens}) >= {BLOCK_NEAR_STOP} THEN 'near'
+              ELSE 'bad' END) AS l0
+          FROM b),
+        sm AS (
+          SELECT doc_id, blocks, l0,
+            list_transform(range(1, len(l0) + 1), i -> CASE
+              WHEN l0[i] = 'near'
+                   AND (coalesce(l0[i - 1], '') = 'good'
+                        OR coalesce(l0[i + 1], '') = 'good')
+              THEN 'good' ELSE l0[i] END) AS l
+          FROM lab0)
+        SELECT doc_id,
+               len(blocks)::INT AS n_blocks,
+               len(list_filter(l, x -> x = 'good'))::INT AS n_good,
+               md5(array_to_string(
+                 list_filter(
+                   list_transform(range(1, len(blocks) + 1),
+                     i -> CASE WHEN l[i] = 'good' THEN blocks[i] END),
+                   x -> x IS NOT NULL),
+                 chr(10) || chr(10))) AS main_md5
+        FROM sm
+    """
 
 
 def _bpe_oracle_sql() -> str:
@@ -3817,6 +4008,8 @@ def oracle_sql() -> dict[str, str]:
         # SURT key replayed step-by-step in DuckDB string/list functions;
         # sha256() is lowercase hex in DuckDB -> upper() to match Spark's
         # upper(sha2(..., 256)); octet_length::BIGINT twins length(binary)
+        "crawl_pld_extract": _pld_oracle_sql(),
+        "text_main_content": _main_content_oracle_sql(),
         "crawl_cdx_index": r"""
             WITH pages AS (
               SELECT

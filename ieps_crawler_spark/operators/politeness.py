@@ -289,6 +289,11 @@ def detect_traps(
     73-86) but keeps crawling the host; this is the host-level feedback
     loop on top. All-integer output (dup ratio in exact permille).
 
+    Subdomain traps (one registered domain fabricating thousands of
+    hosts) evade any per-host signal: pre-derive the key with
+    functions.domains.registrable_domain and pass it as ``host_col`` to
+    aggregate at the pay-level-domain instead.
+
     ``url_col``: when the input mixes first fetches with staleness
     RE-crawls of the same URL (refresh_schedule output), row counts
     overcount the URL space — a legitimately re-fetched host repeats

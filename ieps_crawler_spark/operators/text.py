@@ -11,7 +11,7 @@ equivalent surface a 100 TB webtext corpus needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # small seeded stopword lists (language-ID heuristic: n-gram/stopword
@@ -176,6 +176,111 @@ def quality_gates_passed(col: str = "text") -> Column:
         (stopword_ratio(col, "sl") > 0.0) | (stopword_ratio(col, "en") > 0.0)
     ).cast("int")
     return len_ok + punct_ok + F.coalesce(stop_ok, F.lit(0))
+
+
+# ------------------------------------------------- main-content extraction
+
+# jusText-style block classifier thresholds (deterministic constants,
+# shared with the DuckDB oracle replay in __spark_entry__)
+BLOCK_MIN_TOKENS = 4       # fewer words than this -> boilerplate outright
+BLOCK_GOOD_STOP = 0.30     # stopword density for standalone "good"
+BLOCK_NEAR_STOP = 0.15     # density for "near-good" (rescuable by context)
+BLOCK_GOOD_LEN = 40        # min chars for standalone "good"
+
+
+def _block_tokens(b: Column) -> Column:
+    return F.when(F.length(F.trim(b)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(b), r"\s+"))
+    )
+
+
+def _block_stop_hits(b: Column) -> Column:
+    pat = r"\b(" + "|".join(SL_STOPWORDS + EN_STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(b), F.lit(pat), 0))
+
+
+def classify_blocks(blocks: Column) -> Column:
+    """Per-block boilerplate labels, array<string> of 'good'/'near'/'bad'
+    (pre-smoothing). Re-derivation of the published jusText block
+    heuristic (Pomikalek 2011): prose carries function words, chrome
+    (nav bars, cookie banners, footers) doesn't —
+      bad  : < BLOCK_MIN_TOKENS words
+      good : stopword density >= BLOCK_GOOD_STOP and len >= BLOCK_GOOD_LEN
+      near : density >= BLOCK_NEAR_STOP (headline-length prose)
+      bad  : otherwise.
+    Pure codegen (one regexp pass per block); no UDF, no shuffle."""
+    def lab(b: Column) -> Column:
+        toks = _block_tokens(b)
+        dens = _block_stop_hits(b).cast("double") / F.nullif(
+            toks.cast("double"), F.lit(0.0)
+        )
+        return (
+            F.when(toks < BLOCK_MIN_TOKENS, F.lit("bad"))
+            .when(
+                (dens >= BLOCK_GOOD_STOP) & (F.length(b) >= BLOCK_GOOD_LEN),
+                F.lit("good"),
+            )
+            .when(dens >= BLOCK_NEAR_STOP, F.lit("near"))
+            .otherwise(F.lit("bad"))
+        )
+
+    return F.transform(blocks, lab)
+
+
+def extract_main_text(
+    df: DataFrame,
+    blocks_col: str = "blocks",
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Main-content extraction (boilerplate removal) over pre-split text
+    blocks: classify each block (classify_blocks), then one smoothing
+    pass promotes 'near' blocks adjacent to an originally-'good'
+    neighbor (prose interrupted by a short paragraph), and the main text
+    is the ordered join of the good blocks. The reference stores whole
+    raw pages (CrawlerDIO.scala:60-71) and never separates article from
+    chrome; an LLM corpus built from those pages needs exactly this pass.
+
+    Smoothing reads the PRE-smoothing labels (single pass, no fixpoint):
+    iterated propagation would make the label of block i depend on how
+    far a good-run is, which differs under block re-chunking — one pass
+    keeps the operator deterministic and cheap.
+
+    Adds columns: n_blocks, n_good, main_text. Per-row array work only —
+    no shuffle, no UDF; labels land in real columns so codegen binds
+    them once per row instead of re-deriving the label array at each of
+    the smoothing pass's O(n_blocks) references."""
+    blocks = F.col(blocks_col)
+    out = df.withColumn("_labels0", classify_blocks(blocks))
+    lab0 = F.col("_labels0")
+    smoothed = F.transform(
+        F.sequence(F.lit(1), F.size(lab0)),
+        lambda i: F.when(
+            (F.element_at(lab0, i) == "near")
+            & (
+                (F.coalesce(F.try_element_at(lab0, i - 1), F.lit("")) == "good")
+                | (F.coalesce(F.try_element_at(lab0, i + 1), F.lit("")) == "good")
+            ),
+            F.lit("good"),
+        ).otherwise(F.element_at(lab0, i)),
+    )
+    out = out.withColumn("_labels", smoothed)
+    kept = F.filter(
+        F.zip_with(
+            blocks,
+            F.col("_labels"),
+            lambda b, l: F.when(l == "good", b),
+        ),
+        lambda b: b.isNotNull(),
+    )
+    return (
+        out.withColumn("n_blocks", F.size(blocks))
+        .withColumn(
+            "n_good",
+            F.size(F.filter(F.col("_labels"), lambda l: l == "good")),
+        )
+        .withColumn("main_text", F.array_join(kept, delim))
+        .drop("_labels0", "_labels")
+    )
 
 
 # ------------------------------------------------------ corpus n-gram stats
