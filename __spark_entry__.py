@@ -1191,6 +1191,47 @@ def q_text_main_content(spark, sf_dir):
     )
 
 
+def q_crawl_url_filter(spark, sf_dir):
+    """UT1-style URL category filtering (the RefinedWeb/FineWeb crawl
+    safety gate): registrable-domain blocklist join (scale path —
+    exercises classify_urls' DataFrame blocklist, including subdomain
+    collapse onto a blocked PLD) + path-keyword fallback tier. URLs are
+    constructed per document to hit every branch: blocked-PLD via
+    subdomain, blocked-PLD via www, keyword-in-path on a clean domain,
+    fully clean, and deep-subdomain malware. Oracle replays host→PLD
+    extraction, the blocklist join, and keyword precedence in DuckDB."""
+    from ieps_crawler_spark.functions.urlfilter import (
+        BLOCKED_PLDS,
+        classify_urls,
+    )
+
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.concat(F.lit("http://x"), d, F.lit(".badsite.com/page"), d))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+              F.concat(F.lit("https://www.casino-x.com/p"), d))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 2,
+              F.concat(F.lit("http://clean"), d,
+                       F.lit(".example.com/poker/room")))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 3,
+              F.concat(F.lit("http://ok"), d, F.lit(".site.si/about")))
+        .otherwise(
+            F.concat(F.lit("http://a.b.evil-example.com/x?id="), d))
+    )
+    urls = _read(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    bl = spark.createDataFrame(
+        [(pld, cat) for cat, plds in sorted(BLOCKED_PLDS.items())
+         for pld in plds],
+        ["pld", "category"],
+    )
+    return classify_urls(urls, blocklist=bl).select(
+        "doc_id", "url", "pld", "category"
+    )
+
+
 def q_crawl_cdx_index(spark, sf_dir):
     """CDX-style capture index over a synthetic capture log: SURT urlkey
     (lowercase, scheme/port/fragment/www. dropped, host labels reversed,
@@ -1777,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_pipeline": q_crawl_curation_pipeline,
         "crawl_cdx_index": q_crawl_cdx_index,
         "crawl_pld_extract": q_crawl_pld_extract,
+        "crawl_url_filter": q_crawl_url_filter,
         "text_main_content": q_text_main_content,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
@@ -1887,6 +1929,83 @@ def _pld_oracle_sql() -> str:
                            list_slice(labels, n - take + 1, n), '.')
                END AS pld
         FROM f
+    """
+
+
+def _url_filter_oracle_sql() -> str:
+    """DuckDB twin of functions.urlfilter.classify_urls over the same
+    constructed URLs: host/path regexp extraction, PSL longest-match
+    PLD, blocklist LEFT JOIN (generated from the same BLOCKED_PLDS
+    constant), then the keyword tier in sorted-category precedence."""
+    from ieps_crawler_spark.functions.domains import PUBLIC_SUFFIXES
+    from ieps_crawler_spark.functions.urlfilter import (
+        BLOCKED_PLDS,
+        PATH_KEYWORDS,
+    )
+
+    sufs = ", ".join(f"'{s}'" for s in sorted(set(PUBLIC_SUFFIXES)))
+    bl_rows = ", ".join(
+        f"('{pld}', '{cat}')"
+        for cat, plds in sorted(BLOCKED_PLDS.items())
+        for pld in plds
+    )
+    kw_case = " ".join(
+        "WHEN "
+        + " OR ".join(f"path LIKE '%{kw}%'" for kw in PATH_KEYWORDS[cat])
+        + f" THEN '{cat}'"
+        for cat in sorted(PATH_KEYWORDS)
+    )
+    return rf"""
+        WITH urls AS (
+          SELECT doc_id,
+            CASE (doc_id % 5)
+              WHEN 0 THEN 'http://x' || doc_id || '.badsite.com/page'
+                          || doc_id
+              WHEN 1 THEN 'https://www.casino-x.com/p' || doc_id
+              WHEN 2 THEN 'http://clean' || doc_id
+                          || '.example.com/poker/room'
+              WHEN 3 THEN 'http://ok' || doc_id || '.site.si/about'
+              ELSE 'http://a.b.evil-example.com/x?id=' || doc_id
+            END AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+            regexp_extract(lower(url),
+              '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host,
+            regexp_extract(lower(url),
+              '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path
+          FROM urls),
+        lab AS (
+          SELECT doc_id, url, path,
+                 string_split(host, '.') AS labels,
+                 len(string_split(host, '.')) AS n
+          FROM h),
+        m AS (
+          SELECT doc_id, url, path, labels, n,
+                 list_filter(
+                   list_transform(range(1, n + 1),
+                     k -> array_to_string(
+                            list_slice(labels, n - k + 1, n), '.')),
+                   s -> list_contains([{sufs}], s)) AS matched
+          FROM lab),
+        f AS (
+          SELECT doc_id, url, path, labels, n,
+                 coalesce(
+                   CASE WHEN len(matched) > 0 THEN
+                     len(string_split(matched[len(matched)], '.')) END,
+                   1) + 1 AS take
+          FROM m),
+        p AS (
+          SELECT doc_id, url, path,
+                 CASE WHEN n >= take AND n >= 2
+                      THEN array_to_string(
+                             list_slice(labels, n - take + 1, n), '.')
+                 END AS pld
+          FROM f),
+        bl(bpld, bcat) AS (VALUES {bl_rows})
+        SELECT doc_id, url, pld,
+               coalesce(bcat, CASE {kw_case} END) AS category
+        FROM p LEFT JOIN bl ON p.pld = bl.bpld
     """
 
 
@@ -4009,6 +4128,7 @@ def oracle_sql() -> dict[str, str]:
         # sha256() is lowercase hex in DuckDB -> upper() to match Spark's
         # upper(sha2(..., 256)); octet_length::BIGINT twins length(binary)
         "crawl_pld_extract": _pld_oracle_sql(),
+        "crawl_url_filter": _url_filter_oracle_sql(),
         "text_main_content": _main_content_oracle_sql(),
         "crawl_cdx_index": r"""
             WITH pages AS (

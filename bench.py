@@ -54,9 +54,14 @@ def final_line(results: dict, extras: dict, sf: float, cpus: int) -> dict:
     slowest entries that fit the remaining bytes (the full set lives in
     BENCH_DETAIL.json and the earlier detail line)."""
     out = {
+        # metric/value/unit form the headline triple (the north metric);
+        # suite_sec carries the total query-suite seconds separately —
+        # r3 fix: value used to hold suite seconds under the throughput
+        # metric name, which misreads against BASELINE.md.
         "metric": "urls_fetched_deduped_per_sec",
-        "value": round(sum(results.values()), 3),
-        "unit": "sec",
+        "value": extras.get("crawl", {}).get("urls_per_sec", 0.0),
+        "unit": "urls/sec",
+        "suite_sec": round(sum(results.values()), 3),
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(results),
@@ -64,7 +69,6 @@ def final_line(results: dict, extras: dict, sf: float, cpus: int) -> dict:
     if "crawl" in extras:
         out["crawl"] = {k: v for k, v in extras["crawl"].items()
                         if k != "per_wave"}
-        out["urls_per_sec"] = extras["crawl"]["urls_per_sec"]
     for cfg in ("crawl_bloom", "crawl_cuckoo", "crawl_capped",
                 "crawl_capped_bloom"):
         if cfg in extras:

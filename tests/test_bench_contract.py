@@ -38,4 +38,7 @@ def test_final_line_keeps_all_queries_when_small():
     results = {"a": 1.0, "b": 2.0}
     out = final_line(results, {}, 0.01, 8)
     assert out["queries"] == {"a": 1.0, "b": 2.0}
-    assert out["value"] == 3.0
+    assert out["suite_sec"] == 3.0
+    # headline triple is coherent: throughput metric carries a
+    # throughput value (0 when no crawl config ran)
+    assert out["unit"] == "urls/sec" and out["value"] == 0.0
