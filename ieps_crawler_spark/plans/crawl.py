@@ -76,6 +76,7 @@ class Crawler:
         max_urls_per_wave: int | None = None,
         host_dim_broadcast_limit: int = 1_000_000,
         fetcher=None,
+        frontier_gate=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -130,6 +131,11 @@ class Crawler:
         # pluggable fetch stage (sources.fetcher): None = corpus join;
         # a production deployment injects http_fetcher(fetch_fn) here
         self.fetcher = fetcher
+        # discovery-time URL curation gate (boolean Column over
+        # canon_url/host/data_type, or a df->df transform for
+        # join-shaped blocklists) — see plans/wave.py and
+        # functions/urlfilter.py; None = every discovered link enqueues
+        self.frontier_gate = frontier_gate
         # fold the append-only add-deltas every k waves so the per-wave
         # seen scan reads O(1) directories instead of O(waves) (VERDICT r1
         # residual: file-count growth linear in waves); 0 disables
@@ -324,6 +330,7 @@ class Crawler:
                 max_urls=self.max_urls_per_wave,
                 prune_host_dims=self.prune_host_dims,
                 fetcher=self.fetcher,
+                frontier_gate=self.frontier_gate,
             )
             # deltas first; wave metrics ride the results write as observed
             # aggregates — no extra job.

@@ -242,6 +242,7 @@ def run_wave(
     max_urls: int | None = None,
     prune_host_dims: bool = False,
     fetcher=None,
+    frontier_gate=None,
 ) -> WaveOutput:
     # ---- 1. politeness top-k selection ----------------------------------
     # delays/template are static dims — callers that loop waves pass them
@@ -506,6 +507,20 @@ def run_wave(
             .otherwise(2),
         )
     )
+    # frontier gate (UT1-blocklist-style curation at DISCOVERY time):
+    # a boolean Column over (canon_url, host, data_type) — TRUE keeps —
+    # or a DataFrame->DataFrame transform for join-shaped gates (the
+    # functions/urlfilter.classify_urls scale path). Applied BEFORE the
+    # first-wins window and the seen anti-join, so blocked URLs never
+    # consume a dedup slot, never enter the seen set, and can be
+    # unblocked in a later crawl. Seeds and first-touch injections are
+    # operator-provided and bypass the gate (matching how the reference
+    # treats its seed list as trusted).
+    if frontier_gate is not None:
+        if callable(frontier_gate):
+            cand = frontier_gate(cand)
+        else:
+            cand = cand.filter(frontier_gate)
     # in-batch first-wins dedup by deterministic enqueue order
     first_w = Window.partitionBy("canon_url").orderBy(
         "parent_host", "parent_rank", "pos"
