@@ -1126,8 +1126,10 @@ def q_crawl_pld_extract(spark, sf_dir):
     codegen. Hosts are constructed per document to exercise every rule —
     second-level registries (gov.si, co.uk, ac.jp), plain TLDs,
     multi-label subdomains, an unknown TLD (PSL '*' fallback to last two
-    labels), a bare public suffix (NULL pld), and mixed case. The oracle
-    replays the identical longest-suffix-match algorithm in DuckDB."""
+    labels), a bare public suffix (NULL pld), mixed case, and an IPv4
+    literal (its own registrable unit — never a two-label collapse).
+    The oracle replays the identical longest-suffix-match algorithm in
+    DuckDB."""
     from ieps_crawler_spark.functions.domains import (
         public_suffix,
         registrable_domain,
@@ -1135,16 +1137,20 @@ def q_crawl_pld_extract(spark, sf_dir):
 
     d = F.col("doc_id").cast("string")
     host = (
-        F.when(F.pmod(F.col("doc_id"), F.lit(6)) == 0,
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
                F.concat(F.lit("www.site"), d, F.lit(".gov.si")))
-        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 1,
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) == 1,
               F.concat(F.lit("sub.Blog"), d, F.lit(".co.uk")))
-        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 2,
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) == 2,
               F.concat(F.lit("a.b.node"), d, F.lit(".ac.jp")))
-        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 3,
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) == 3,
               F.concat(F.lit("site"), d, F.lit(".com")))
-        .when(F.pmod(F.col("doc_id"), F.lit(6)) == 4,
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) == 4,
               F.concat(F.lit("host"), d, F.lit(".weird")))
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) == 5,
+              F.concat(F.lit("93.184."),
+                       F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+                       F.lit(".34")))
         .otherwise(F.lit("gov.si"))
     )
     hosts = _read(spark, sf_dir, "documents").select(
@@ -1892,22 +1898,26 @@ def _pld_oracle_sql() -> str:
     return rf"""
         WITH hosts AS (
           SELECT doc_id,
-                 CASE (doc_id % 6)
+                 CASE (doc_id % 7)
                    WHEN 0 THEN 'www.site' || doc_id || '.gov.si'
                    WHEN 1 THEN 'sub.Blog' || doc_id || '.co.uk'
                    WHEN 2 THEN 'a.b.node' || doc_id || '.ac.jp'
                    WHEN 3 THEN 'site' || doc_id || '.com'
                    WHEN 4 THEN 'host' || doc_id || '.weird'
+                   WHEN 5 THEN '93.184.' || (doc_id % 250) || '.34'
                    ELSE 'gov.si'
                  END AS host
           FROM documents),
         lab AS (
           SELECT doc_id, host,
                  string_split(lower(host), '.') AS labels,
-                 len(string_split(lower(host), '.')) AS n
+                 len(string_split(lower(host), '.')) AS n,
+                 (regexp_matches(lower(host),
+                    '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$')
+                  OR contains(host, ':')) AS is_ip
           FROM hosts),
         m AS (
-          SELECT doc_id, host, labels, n,
+          SELECT doc_id, host, labels, n, is_ip,
                  list_filter(
                    list_transform(range(1, n + 1),
                      k -> array_to_string(
@@ -1915,16 +1925,18 @@ def _pld_oracle_sql() -> str:
                    s -> list_contains([{sufs}], s)) AS matched
           FROM lab),
         ps AS (
-          SELECT doc_id, host, labels, n,
+          SELECT doc_id, host, labels, n, is_ip,
                  CASE WHEN len(matched) > 0
                       THEN matched[len(matched)] END AS pub_suffix
           FROM m),
         f AS (
-          SELECT doc_id, host, labels, n, pub_suffix,
+          SELECT doc_id, host, labels, n, is_ip, pub_suffix,
                  coalesce(len(string_split(pub_suffix, '.')), 1) + 1 AS take
           FROM ps)
-        SELECT doc_id, host, pub_suffix,
-               CASE WHEN n >= take AND n >= 2
+        SELECT doc_id, host,
+               CASE WHEN is_ip THEN NULL ELSE pub_suffix END AS pub_suffix,
+               CASE WHEN is_ip THEN lower(host)
+                    WHEN n >= take AND n >= 2
                     THEN array_to_string(
                            list_slice(labels, n - take + 1, n), '.')
                END AS pld
@@ -1971,17 +1983,21 @@ def _url_filter_oracle_sql() -> str:
         h AS (
           SELECT doc_id, url,
             regexp_extract(lower(url),
-              '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host,
+              '^(?:[a-z][a-z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]+)',
+              1) AS host,
             regexp_extract(lower(url),
-              '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path
+              '^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*([^#]*)', 1) AS path
           FROM urls),
         lab AS (
-          SELECT doc_id, url, path,
+          SELECT doc_id, url, path, host,
                  string_split(host, '.') AS labels,
-                 len(string_split(host, '.')) AS n
+                 len(string_split(host, '.')) AS n,
+                 (regexp_matches(host,
+                    '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$')
+                  OR contains(host, ':')) AS is_ip
           FROM h),
         m AS (
-          SELECT doc_id, url, path, labels, n,
+          SELECT doc_id, url, path, host, labels, n, is_ip,
                  list_filter(
                    list_transform(range(1, n + 1),
                      k -> array_to_string(
@@ -1989,7 +2005,7 @@ def _url_filter_oracle_sql() -> str:
                    s -> list_contains([{sufs}], s)) AS matched
           FROM lab),
         f AS (
-          SELECT doc_id, url, path, labels, n,
+          SELECT doc_id, url, path, host, labels, n, is_ip,
                  coalesce(
                    CASE WHEN len(matched) > 0 THEN
                      len(string_split(matched[len(matched)], '.')) END,
@@ -1997,7 +2013,8 @@ def _url_filter_oracle_sql() -> str:
           FROM m),
         p AS (
           SELECT doc_id, url, path,
-                 CASE WHEN n >= take AND n >= 2
+                 CASE WHEN is_ip THEN host
+                      WHEN n >= take AND n >= 2
                       THEN array_to_string(
                              list_slice(labels, n - take + 1, n), '.')
                  END AS pld

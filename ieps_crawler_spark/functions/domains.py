@@ -21,7 +21,12 @@ the published PSL algorithm — https://publicsuffix.org/list/):
   3. the registrable domain is the public suffix plus one more label;
   4. edge cases: host == a public suffix → NULL (nothing registrable);
      no suffix matches → fall back to the last two labels (the PSL
-     "prevailing rule is '*'" clause), single-label host → NULL.
+     "prevailing rule is '*'" clause), single-label host → NULL;
+  5. IP literals (IPv4 dotted-quad, or anything with ':' — IPv6) are
+     excluded from the PSL algorithm entirely: the registrable domain
+     IS the full address (two unrelated servers 93.184.216.34 and
+     10.77.216.34 must NOT collapse into one '216.34' politeness/
+     blocklist key) and the public suffix is NULL.
 
 Everything is array/lambda expressions over a literal array, so the
 suffix set is folded into the plan: zero shuffle, zero Python, and the
@@ -57,6 +62,10 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
 )
 
 
+def _is_ip_literal(host: Column) -> Column:
+    return host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$") | host.contains(":")
+
+
 def _suffix_candidates(host: Column) -> Column:
     """Array of all label-suffixes of ``host``, shortest first:
     'a.b.co.uk' -> ['uk', 'co.uk', 'b.co.uk', 'a.b.co.uk']."""
@@ -78,8 +87,12 @@ def public_suffix(
     matched = F.filter(
         _suffix_candidates(host), lambda s: F.array_contains(lit_set, s)
     )
-    # candidates are ordered shortest -> longest, so last match wins
-    return F.when(F.size(matched) > 0, F.element_at(matched, -1))
+    # candidates are ordered shortest -> longest, so last match wins;
+    # IP literals have no public suffix by definition
+    return F.when(
+        ~_is_ip_literal(host) & (F.size(matched) > 0),
+        F.element_at(matched, -1),
+    )
 
 
 def registrable_domain(
@@ -89,14 +102,17 @@ def registrable_domain(
     """Registrable (pay-level) domain of the host: public suffix + one
     label. NULL for a bare public suffix or a single-label host; hosts
     under an unknown TLD fall back to their last two labels (PSL '*'
-    prevailing rule)."""
+    prevailing rule); an IP literal is its own registrable unit (the
+    full address, never a two-label collapse)."""
     host = F.lower(F.col(col) if isinstance(col, str) else col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     ps = public_suffix(host, suffixes)
     ps_labels = F.size(F.split(ps, r"\."))
     take = F.coalesce(ps_labels, F.lit(1)) + F.lit(1)
-    return F.when(
-        (n >= take) & (n >= 2),
-        F.array_join(F.slice(labels, n - take + 1, take), "."),
+    return F.when(_is_ip_literal(host), host).otherwise(
+        F.when(
+            (n >= take) & (n >= 2),
+            F.array_join(F.slice(labels, n - take + 1, take), "."),
+        )
     )

@@ -48,13 +48,18 @@ PATH_KEYWORDS: dict[str, tuple[str, ...]] = {
 
 
 def url_host(col: str | Column = "url") -> Column:
-    """Host of an http(s)-style URL: lowercased authority minus
-    userinfo/port. Pure regexp — for full reference-parity
-    canonicalization use functions/canon.py; this is the cheap key
-    extractor for filtering passes."""
+    """Host of an absolute or protocol-relative URL: lowercased
+    authority minus userinfo/port ('' when the URL has no //authority).
+    Pure regexp — for full reference-parity canonicalization use
+    functions/canon.py; this is the cheap key extractor for filtering
+    passes. PRECONDITION for filtering: feed canonicalized URLs (the
+    wave gate always sees canon_url, which carries a scheme) — a bare
+    schemeless 'badsite.com/x' does NOT parse and would bypass a
+    blocklist; '//badsite.com/x' (protocol-relative, common in
+    extracted hrefs) does parse."""
     u = F.lower(F.col(col) if isinstance(col, str) else col)
     return F.regexp_extract(
-        u, r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+        u, r"^(?:[a-z][a-z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]+)", 1
     )
 
 
@@ -73,7 +78,9 @@ def url_category(
     tier over the lowercased path+query."""
     u = F.lower(F.col(col) if isinstance(col, str) else col)
     pld = url_pld(u)
-    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(
+        u, r"^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*([^#]*)", 1
+    )
 
     out = F.lit(None).cast("string")
     # build from the LAST tier backwards so earlier tiers take priority
@@ -107,10 +114,17 @@ def classify_urls(
     scan. No window, no UDF."""
     tagged = df.withColumn("pld", url_pld(url_col))
     if blocklist is not None:
-        bl = blocklist.select(
-            F.lower(F.col("pld")).alias("pld"),
-            F.col("category").alias("_dom_cat"),
-        ).dropDuplicates(["pld"])
+        # a PLD listed under several categories (real UT1 lists do this)
+        # must resolve DETERMINISTICALLY and identically to
+        # url_category's sorted-first precedence — dropDuplicates would
+        # keep a partition-order-dependent row
+        bl = (
+            blocklist.select(
+                F.lower(F.col("pld")).alias("pld"), F.col("category")
+            )
+            .groupBy("pld")
+            .agg(F.min("category").alias("_dom_cat"))
+        )
         tagged = tagged.join(bl, "pld", "left")
     else:
         tagged = tagged.withColumn("_dom_cat", F.lit(None).cast("string"))

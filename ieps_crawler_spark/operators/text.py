@@ -20,9 +20,13 @@ SL_STOPWORDS = ["in", "je", "na", "za", "se", "da", "so", "ki", "pri", "tudi"]
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
 
 
-def token_count(col: str = "text") -> Column:
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: str | Column = "text") -> Column:
     """Whitespace token count (0 for empty/null-safe trims)."""
-    trimmed = F.trim(F.col(col))
+    trimmed = F.trim(_c(col))
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -48,9 +52,9 @@ def upper_ratio(col: str = "text") -> Column:
     return n_upper.cast("double") / F.nullif(F.length(F.col(col)).cast("double"), F.lit(0.0))
 
 
-def _stopword_hits(col: str, words: list[str]) -> Column:
+def _stopword_hits(col: str | Column, words: list[str]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), 0))
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pat), 0))
 
 
 def stopword_ratio(col: str = "text", lang: str = "sl") -> Column:
@@ -188,17 +192,6 @@ BLOCK_NEAR_STOP = 0.15     # density for "near-good" (rescuable by context)
 BLOCK_GOOD_LEN = 40        # min chars for standalone "good"
 
 
-def _block_tokens(b: Column) -> Column:
-    return F.when(F.length(F.trim(b)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(b), r"\s+"))
-    )
-
-
-def _block_stop_hits(b: Column) -> Column:
-    pat = r"\b(" + "|".join(SL_STOPWORDS + EN_STOPWORDS) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(b), F.lit(pat), 0))
-
-
 def classify_blocks(blocks: Column) -> Column:
     """Per-block boilerplate labels, array<string> of 'good'/'near'/'bad'
     (pre-smoothing). Re-derivation of the published jusText block
@@ -210,10 +203,10 @@ def classify_blocks(blocks: Column) -> Column:
       bad  : otherwise.
     Pure codegen (one regexp pass per block); no UDF, no shuffle."""
     def lab(b: Column) -> Column:
-        toks = _block_tokens(b)
-        dens = _block_stop_hits(b).cast("double") / F.nullif(
-            toks.cast("double"), F.lit(0.0)
-        )
+        toks = token_count(b)
+        dens = _stopword_hits(b, SL_STOPWORDS + EN_STOPWORDS).cast(
+            "double"
+        ) / F.nullif(toks.cast("double"), F.lit(0.0))
         return (
             F.when(toks < BLOCK_MIN_TOKENS, F.lit("bad"))
             .when(
@@ -252,17 +245,28 @@ def extract_main_text(
     blocks = F.col(blocks_col)
     out = df.withColumn("_labels0", classify_blocks(blocks))
     lab0 = F.col("_labels0")
-    smoothed = F.transform(
-        F.sequence(F.lit(1), F.size(lab0)),
-        lambda i: F.when(
+
+    def smooth(i: Column) -> Column:
+        # neighbor lookups must be CASE-guarded, not try_element_at:
+        # under ANSI (the session default) element_at AND try_element_at
+        # both throw INVALID_INDEX_OF_ZERO for index 0, so a 'near'
+        # FIRST block would kill the job; CASE branches evaluate lazily
+        prev = F.when(i > 1, F.element_at(lab0, i - 1))
+        nxt = F.when(i < F.size(lab0), F.element_at(lab0, i + 1))
+        return F.when(
             (F.element_at(lab0, i) == "near")
             & (
-                (F.coalesce(F.try_element_at(lab0, i - 1), F.lit("")) == "good")
-                | (F.coalesce(F.try_element_at(lab0, i + 1), F.lit("")) == "good")
+                (F.coalesce(prev, F.lit("")) == "good")
+                | (F.coalesce(nxt, F.lit("")) == "good")
             ),
             F.lit("good"),
-        ).otherwise(F.element_at(lab0, i)),
-    )
+        ).otherwise(F.element_at(lab0, i))
+
+    # empty block arrays: sequence(1, 0) counts DOWN to [1, 0] and the
+    # index-0/overrun lookups throw under ANSI — short-circuit to []
+    smoothed = F.when(
+        F.size(lab0) > 0, F.transform(F.sequence(F.lit(1), F.size(lab0)), smooth)
+    ).otherwise(F.array().cast("array<string>"))
     out = out.withColumn("_labels", smoothed)
     kept = F.filter(
         F.zip_with(

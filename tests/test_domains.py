@@ -25,6 +25,11 @@ CASES = [
     ("com", "com", None),
     ("UPPER.Site.COM", "com", "site.com"),           # case-folded
     ("blog.site.si", "si", "site.si"),               # flat ccTLD
+    # IP literals: their own registrable unit, never a 2-label collapse
+    ("93.184.216.34", None, "93.184.216.34"),
+    ("10.77.216.34", None, "10.77.216.34"),
+    ("[2001:db8::1]", None, "[2001:db8::1]"),
+    ("0:0:0:0:0:0:0:1", None, "0:0:0:0:0:0:0:1"),
 ]
 
 
@@ -99,6 +104,26 @@ def test_smoothing_is_single_pass(spark):
 def test_short_and_empty_blocks_are_bad(spark):
     out = extract_main_text(_blocks_df(spark, ["", "  ", "a b c", NAV])).first()
     assert out.n_good == 0 and out.main_text == ""
+
+
+def test_near_first_block_does_not_crash(spark):
+    # ANSI regression: element_at/try_element_at both throw
+    # INVALID_INDEX_OF_ZERO for index 0 — a 'near' FIRST block must
+    # smooth against its right neighbor only, never index 0
+    out = extract_main_text(_blocks_df(spark, [NEAR, GOOD])).first()
+    assert out.n_good == 2
+    out2 = extract_main_text(_blocks_df(spark, [NEAR, NAV])).first()
+    assert out2.n_good == 0
+
+
+def test_empty_block_array(spark):
+    # sequence(1, 0) counts DOWN — an empty page must yield an empty
+    # result, not an ANSI array-index error
+    df = spark.createDataFrame(
+        [(1, [])], "doc_id int, blocks array<string>"
+    )
+    out = extract_main_text(df).first()
+    assert out.n_blocks == 0 and out.n_good == 0 and out.main_text == ""
 
 
 def test_main_text_plan_is_pure_codegen(spark):

@@ -53,6 +53,29 @@ def test_blocklist_join_matches_literal_path(spark):
     )
 
 
+def test_multi_category_pld_resolves_deterministically(spark):
+    # real UT1 lists place one domain under several categories: the
+    # join path must resolve to the sorted-first category (matching
+    # url_category's precedence), never a partition-order-dependent row
+    bl = spark.createDataFrame(
+        [("x.com", "gambling"), ("x.com", "adult"), ("x.com", "malware")],
+        ["pld", "category"],
+    )
+    df = spark.createDataFrame([("http://sub.x.com/p",)], "url string")
+    assert classify_urls(df, blocklist=bl).first().category == "adult"
+
+
+def test_protocol_relative_urls_parse(spark):
+    # extracted hrefs are often scheme-relative — a blocklisted domain
+    # must not bypass the gate by dropping its scheme
+    df = spark.createDataFrame(
+        [("//x.badsite.com/page",), ("//clean.example.com/casino",)],
+        "url string",
+    )
+    got = [r.c for r in df.select(url_category("url").alias("c")).collect()]
+    assert got == ["adult", "gambling"]
+
+
 def test_domain_match_beats_keyword(spark):
     # blocked domain whose path ALSO carries another category's keyword
     df = spark.createDataFrame(
