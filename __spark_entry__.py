@@ -1197,6 +1197,51 @@ def q_text_main_content(spark, sf_dir):
     )
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (the CCNet/
+    FineWeb curation staple): hashed unigram+bigram bag → broadcast
+    (bucket, w_milli) model join → per-doc exact integer logit in
+    micro-units + keep decision. The model is the deterministic
+    synthetic stand-in (md5-derived odd milli-weights over all 10k
+    buckets) so the oracle replays weights, hashing, and the integer
+    mean-of-features dot product end-to-end; the float sigmoid stays
+    out of the projection per the engine's exact-integer gate
+    convention."""
+    from ieps_crawler_spark.operators.classifier import (
+        hashed_linear_scores,
+        synthetic_model,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model = synthetic_model(spark, n_buckets=10_000)
+    return hashed_linear_scores(docs, model, n_buckets=10_000).select(
+        "doc_id", "n_grams", "sum_w_milli", "logit_micro", "keep"
+    )
+
+
+def q_pipeline_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail bucketing of the
+    classifier score: per-lang discrete tertile cutoffs (histogram +
+    one window over distinct scores, broadcast cutoff join back) —
+    the 'keep the head bucket' corpus split CCNet runs on perplexity,
+    applied to the exact integer logit so every value is
+    hash-gateable."""
+    from ieps_crawler_spark.operators.classifier import (
+        hashed_linear_scores,
+        score_tertile_buckets,
+        synthetic_model,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model = synthetic_model(spark, n_buckets=10_000)
+    scored = hashed_linear_scores(docs, model, n_buckets=10_000).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return score_tertile_buckets(scored).select(
+        "doc_id", "lang", "logit_micro", "bucket"
+    )
+
+
 def q_crawl_url_filter(spark, sf_dir):
     """UT1-style URL category filtering (the RefinedWeb/FineWeb crawl
     safety gate): registrable-domain blocklist join (scale path —
@@ -1826,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pld_extract": q_crawl_pld_extract,
         "crawl_url_filter": q_crawl_url_filter,
         "text_main_content": q_text_main_content,
+        "text_quality_classifier": q_text_quality_classifier,
+        "pipeline_quality_buckets": q_pipeline_quality_buckets,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -4147,6 +4194,118 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pld_extract": _pld_oracle_sql(),
         "crawl_url_filter": _url_filter_oracle_sql(),
         "text_main_content": _main_content_oracle_sql(),
+        "text_quality_classifier": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws,
+                     length(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g')) AS ln
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM w WHERE ln > 0),
+            bix AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE ln > 0 AND len(ws) >= 2),
+            bi AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+              FROM bix),
+            grams AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(g), 1, 8))::BIGINT % 10000)
+                       AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            model AS (
+              SELECT bucket,
+                     ((h % 1000) * 2 + 1)
+                       * (CASE WHEN (h // 1000) % 2 = 0 THEN 1 ELSE -1 END)
+                       AS w_milli
+              FROM (SELECT range AS bucket,
+                           ('0x' || substr(md5(range::VARCHAR || 'ftq'),
+                                           1, 8))::BIGINT AS h
+                    FROM range(10000))),
+            per AS (
+              SELECT g.doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(m.w_milli)::BIGINT AS sum_w_milli
+              FROM grams g JOIN model m USING (bucket)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(p.sum_w_milli, 0)::BIGINT AS sum_w_milli,
+                   (CASE WHEN p.n_grams > 0
+                         THEN (p.sum_w_milli * 1000) // p.n_grams
+                    END)::BIGINT AS logit_micro,
+                   coalesce(
+                     (p.sum_w_milli * 1000) // p.n_grams >= 0,
+                     FALSE) AS keep
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "pipeline_quality_buckets": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     string_split(regexp_replace(trim(lower(text)),
+                                  '\s+', ' ', 'g'), ' ') AS ws,
+                     length(regexp_replace(trim(lower(text)),
+                            '\s+', ' ', 'g')) AS ln
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM w WHERE ln > 0),
+            bix AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE ln > 0 AND len(ws) >= 2),
+            bi AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+              FROM bix),
+            grams AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(g), 1, 8))::BIGINT % 10000)
+                       AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            model AS (
+              SELECT bucket,
+                     ((h % 1000) * 2 + 1)
+                       * (CASE WHEN (h // 1000) % 2 = 0 THEN 1 ELSE -1 END)
+                       AS w_milli
+              FROM (SELECT range AS bucket,
+                           ('0x' || substr(md5(range::VARCHAR || 'ftq'),
+                                           1, 8))::BIGINT AS h
+                    FROM range(10000))),
+            per AS (
+              SELECT g.doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(m.w_milli)::BIGINT AS sum_w_milli
+              FROM grams g JOIN model m USING (bucket)
+              GROUP BY g.doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     (CASE WHEN p.n_grams > 0
+                           THEN (p.sum_w_milli * 1000) // p.n_grams
+                      END)::BIGINT AS logit_micro
+              FROM documents d LEFT JOIN per p USING (doc_id)),
+            hist AS (
+              SELECT lang, logit_micro AS v, count(*)::BIGINT AS cnt
+              FROM scored WHERE logit_micro IS NOT NULL
+              GROUP BY lang, logit_micro),
+            cum AS (
+              SELECT lang, v,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM hist),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN c >= ceil(0.34 * n) THEN v END) AS t1,
+                     min(CASE WHEN c >= ceil(0.67 * n) THEN v END) AS t2
+              FROM cum GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.logit_micro,
+                   CASE WHEN s.logit_micro IS NULL THEN 'tail'
+                        WHEN s.logit_micro <= c.t1 THEN 'head'
+                        WHEN s.logit_micro <= c.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s LEFT JOIN cuts c USING (lang)
+        """,
         "crawl_cdx_index": r"""
             WITH pages AS (
               SELECT
