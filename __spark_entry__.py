@@ -1242,6 +1242,75 @@ def q_pipeline_quality_buckets(spark, sf_dir):
     )
 
 
+def q_crawl_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling (O(log k)
+    shuffles): a synthetic Location graph over the documents table —
+    chains up to 9 hops inside each doc-id decade (p21→p20 … p29→p28)
+    plus planted 10-cycles (every 4th decade head redirects back to its
+    tail) — resolved to final URLs with exact hop counts; cyclic
+    decades surface as resolved = false, the fetcher's
+    too-many-redirects abort. Oracle walks the same graph with a
+    DuckDB recursive CTE."""
+    from ieps_crawler_spark.operators.redirects import (
+        resolve_redirect_chains,
+    )
+
+    def url(c):
+        return F.concat(F.lit("http://ex.com/p"), c.cast("string"))
+
+    edges = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            url(F.col("doc_id")).alias("src_url"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(10)) != 0,
+                url(F.col("doc_id") - 1),
+            )
+            .when(
+                F.pmod(F.col("doc_id"), F.lit(40)) == 20,
+                url(F.col("doc_id") + 9),
+            )
+            .alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+    return resolve_redirect_chains(edges, max_hops=16)
+
+
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Re-crawl change detection: two synthetic crawl snapshots of the
+    documents URL space (drop-outs, new URLs, content edits, failed
+    fetches as null hashes) diffed by content hash into
+    added/gone/changed/unchanged — the between-visits signal the
+    reference's crawl-once design (UNIQUE(page.url), crawldb.sql:33)
+    never computes but a continuous corpus feeds into
+    refresh_schedule. One full-outer hash-compare join, null-safe."""
+    from ieps_crawler_spark.operators.politeness import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def url(c):
+        return F.concat(F.lit("http://ex.com/p"), c.cast("string"))
+
+    old = docs.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
+        url(F.col("doc_id")).alias("url"),
+        F.when(
+            F.pmod("doc_id", F.lit(13)) != 0, F.md5(F.col("text"))
+        ).alias("content_hash"),
+    )
+    new = docs.filter(F.pmod("doc_id", F.lit(5)) != 0).select(
+        url(F.col("doc_id")).alias("url"),
+        F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(None).cast("string"))
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.md5(F.concat(F.col("text"), F.lit("v2"))),
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("content_hash"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_crawl_url_filter(spark, sf_dir):
     """UT1-style URL category filtering (the RefinedWeb/FineWeb crawl
     safety gate): registrable-domain blocklist join (scale path —
@@ -1873,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_main_content": q_text_main_content,
         "text_quality_classifier": q_text_quality_classifier,
         "pipeline_quality_buckets": q_pipeline_quality_buckets,
+        "crawl_redirect_resolve": q_crawl_redirect_resolve,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -4194,6 +4265,54 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pld_extract": _pld_oracle_sql(),
         "crawl_url_filter": _url_filter_oracle_sql(),
         "text_main_content": _main_content_oracle_sql(),
+        "crawl_redirect_resolve": r"""
+            WITH RECURSIVE e AS (
+              SELECT 'http://ex.com/p' || doc_id::VARCHAR AS u,
+                     CASE WHEN doc_id % 10 <> 0
+                          THEN 'http://ex.com/p' || (doc_id - 1)::VARCHAR
+                          WHEN doc_id % 40 = 20
+                          THEN 'http://ex.com/p' || (doc_id + 9)::VARCHAR
+                     END AS w
+              FROM documents
+              WHERE doc_id % 10 <> 0 OR doc_id % 40 = 20),
+            walk AS (
+              SELECT u AS src, w AS cur, 1 AS h FROM e
+              UNION ALL
+              SELECT walk.src, e.w, walk.h + 1
+              FROM walk JOIN e ON walk.cur = e.u
+              WHERE walk.h <= 16),
+            term AS (
+              SELECT src, cur AS final_url, h
+              FROM walk
+              WHERE h <= 16 AND cur NOT IN (SELECT u FROM e))
+            SELECT s.u AS src_url,
+                   t.final_url,
+                   t.h::BIGINT AS n_hops,
+                   t.h IS NOT NULL AS resolved
+            FROM (SELECT DISTINCT u FROM e) s
+            LEFT JOIN term t ON s.u = t.src
+        """,
+        "crawl_snapshot_diff": r"""
+            WITH old AS (
+              SELECT 'http://ex.com/p' || doc_id::VARCHAR AS url,
+                     CASE WHEN doc_id % 13 <> 0 THEN md5(text) END
+                       AS old_hash
+              FROM documents WHERE doc_id % 7 <> 0),
+            new AS (
+              SELECT 'http://ex.com/p' || doc_id::VARCHAR AS url,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          WHEN doc_id % 3 = 0 THEN md5(text || 'v2')
+                          ELSE md5(text) END AS new_hash
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(o.url, n.url) AS url,
+                   o.old_hash, n.new_hash,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
         "text_quality_classifier": r"""
             WITH w AS (
               SELECT doc_id,

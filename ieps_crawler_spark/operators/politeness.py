@@ -222,6 +222,58 @@ def refresh_schedule(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Re-crawl change detection: diff two crawl snapshots of the same
+    URL space by content hash. Returns one row per URL in EITHER
+    snapshot: (key_col, old_hash, new_hash, change) with change ∈
+    {'added', 'gone', 'changed', 'unchanged'} — the signal a
+    continuously-operated corpus feeds back into refresh_schedule
+    (changed URLs argue for shorter revisit intervals, 'gone' for
+    pruning) and into trap detection ('added' floods). The reference
+    fetches each URL exactly once (UNIQUE(page.url), crawldb.sql:33)
+    and never re-visits; this is the between-visits layer a continuous
+    crawl adds.
+
+    NULL hashes (fetch failed, binary skipped) compare as distinct from
+    every real hash but equal to each other — a page that failed both
+    times is 'unchanged', failed→fetched is 'changed'.
+
+    Scale posture: ONE full-outer shuffle join on the URL key and a
+    codegen projection — no windows, no Python; both sides prune to
+    (key, hash) at the scan. On url-bucketed Iceberg snapshots the
+    shuffle disappears entirely (storage-partitioned join), the same
+    layout the wave fetch join already relies on.
+    """
+    o = old.select(
+        F.col(key_col).alias("_k"), F.col(hash_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key_col).alias("_k2"),
+        F.col(hash_col).alias("new_hash"),
+    )
+    j = o.join(n, o["_k"] == n["_k2"], "full_outer")
+    present_old = o["_k"].isNotNull()
+    present_new = n["_k2"].isNotNull()
+    return j.select(
+        F.coalesce(o["_k"], n["_k2"]).alias(key_col),
+        "old_hash",
+        "new_hash",
+        F.when(~present_old, F.lit("added"))
+        .when(~present_new, F.lit("gone"))
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
 def adaptive_delays(
     fetches: DataFrame,
     host_col: str = "host",
