@@ -300,9 +300,15 @@ def _sized_write(df: DataFrame, path: str) -> None:
     right-sized files in parallel. This is Iceberg's
     write.distribution-mode shuffle; upstream stages (extraction,
     dedup) keep full parallelism — only the final narrow write stage
-    re-buckets. Falls back to a plain write for non-AQE sessions."""
+    re-buckets. Falls back to a plain write for non-AQE sessions
+    (ResolveCoalesceHints only recognizes REBALANCE under AQE, so the
+    hint would be dropped with a warning there anyway)."""
     try:
-        df.hint("rebalance").write.mode("overwrite").parquet(path)
+        aqe = (
+            df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
+        (df.hint("rebalance") if aqe else df).write.mode("overwrite").parquet(path)
     except Exception:
         df.write.mode("overwrite").parquet(path)
 
