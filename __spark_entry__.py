@@ -709,6 +709,45 @@ def q_crawl_anchor_stats(spark, sf_dir):
     return anchor_text_stats(pairs, k=3)
 
 
+def q_source_wet_roundtrip(spark, sf_dir):
+    """WET export + re-ingest (Common Crawl's extracted-text sidecar —
+    WARC ``conversion`` records, plain-UTF-8 payload): documents become
+    a deterministic capture log, write_wet segments them into 8
+    .warc.wet.gz files (distributed applyInPandas sink, byte-
+    deterministic), read_wet parses every conversion record back. The
+    oracle predicts the parsed rows directly from documents — a green
+    hash proves the sink→source loop is lossless. Completes the
+    WARC/WET/CDX archive trio (sinks/warc_sink.py, functions/surt.py);
+    the reference keeps pages in PostgreSQL (db/Database.scala) and has
+    no archive export."""
+    import tempfile
+
+    from ieps_crawler_spark.sinks.warc_sink import write_wet
+    from ieps_crawler_spark.sources.warc import read_wet
+
+    d = F.col("doc_id")
+    caps = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://w"), F.pmod(d, F.lit(7)).cast("string"),
+            F.lit(".gov.si/d"), d.cast("string"), F.lit("/"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2019-04-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, doc_id % 97, 0)"
+        ).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="ieps_wet_")
+    write_wet(caps, out, n_segments=8).collect()  # run the sink job
+    back = read_wet(spark, f"file://{out}/*")
+    return back.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def q_source_warc_scan(spark, sf_dir):
     """WARC ingestion (the archive format Common Crawl actually ships):
     documents are serialized into 8 deterministic .warc/.warc.gz segment
@@ -1309,6 +1348,45 @@ def q_crawl_snapshot_diff(spark, sf_dir):
         .alias("content_hash"),
     )
     return snapshot_diff(old, new)
+
+
+def q_crawl_param_noise(spark, sf_dir):
+    """URL query-parameter noise detection (operators/urlnoise.py): a
+    synthetic fetch log where ``page`` determines content, ``sid`` is a
+    per-fetch session id and ``utm`` a tracking code, classified per
+    (host, param) from residue-group evidence — the learned strip-list
+    a frontier gate uses to stop session-id URL-space explosions the
+    reference's verbatim-URL frontier (SpiderWorker link handling)
+    cannot see. Pure codegen: parse_url + array lambdas + two hash
+    aggregates. Oracle replays the rule from doc_id arithmetic (the
+    generator's inverse, no URL parsing needed in SQL)."""
+    from ieps_crawler_spark.operators.urlnoise import param_noise
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    fetch = docs.select(
+        F.concat(
+            F.lit("http://h"), F.pmod(d, F.lit(3)).cast("string"),
+            F.lit(".gov.si/p"), F.pmod(d, F.lit(4)).cast("string"),
+            F.lit("?page="), F.pmod(d, F.lit(5)).cast("string"),
+            F.when(
+                F.pmod(d, F.lit(2)) == 0,
+                F.concat(F.lit("&sid="), d.cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(d, F.lit(3)) == 0,
+                F.concat(F.lit("&utm="), F.pmod(d, F.lit(7)).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+        F.md5(
+            F.concat(
+                F.lit("h"), F.pmod(d, F.lit(3)).cast("string"),
+                F.lit(".gov.si/p"), F.pmod(d, F.lit(4)).cast("string"),
+                F.pmod(d, F.lit(5)).cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return param_noise(fetch)
 
 
 def q_crawl_url_filter(spark, sf_dir):
@@ -1944,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_buckets": q_pipeline_quality_buckets,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "source_wet_roundtrip": q_source_wet_roundtrip,
+        "crawl_param_noise": q_crawl_param_noise,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -4312,6 +4392,64 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'unchanged'
                         ELSE 'changed' END AS change
             FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
+        # the generator's inverse: what read_wet must parse back out of
+        # the write_wet segments if the sink->source loop is lossless
+        "source_wet_roundtrip": r"""
+            SELECT 'http://w' || (doc_id % 7)::VARCHAR || '.gov.si/d'
+                     || doc_id::VARCHAR || '/' AS url,
+                   strftime(TIMESTAMP '2019-04-01 00:00:00'
+                            + (doc_id % 97) * INTERVAL 1 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+                   md5(text) AS text_md5,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        """,
+        # the generator's inverse: per-doc param list from doc_id
+        # arithmetic (no URL parsing in SQL), then the same
+        # residue-group evidence rule as operators/urlnoise.py
+        "crawl_param_noise": r"""
+            WITH caps AS (
+              SELECT 'h' || (doc_id % 3)::VARCHAR || '.gov.si' AS host,
+                     'h' || (doc_id % 3)::VARCHAR || '.gov.si/p'
+                       || (doc_id % 4)::VARCHAR AS base,
+                     md5('h' || (doc_id % 3)::VARCHAR || '.gov.si/p'
+                         || (doc_id % 4)::VARCHAR
+                         || (doc_id % 5)::VARCHAR) AS content_hash,
+                     list_filter([
+                       {'p': 'page', 'kv': 'page=' || (doc_id % 5)::VARCHAR},
+                       CASE WHEN doc_id % 2 = 0 THEN
+                         {'p': 'sid', 'kv': 'sid=' || doc_id::VARCHAR} END,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                         {'p': 'utm', 'kv': 'utm=' || (doc_id % 7)::VARCHAR} END
+                     ], x -> x IS NOT NULL) AS plist
+              FROM documents),
+            ex AS (
+              SELECT host, u.p AS param, u.kv AS value,
+                     -- concat(), not ||: array_to_string on an EMPTY
+                     -- list is NULL in DuckDB and || would null the
+                     -- whole residue, collapsing param-only groups
+                     concat(base, '?', array_to_string(
+                       list_sort(list_transform(
+                         list_filter(plist, x -> x.p <> u.p),
+                         x -> x.kv)), '&')) AS residue,
+                     content_hash
+              FROM caps, UNNEST(plist) AS t(u)),
+            g AS (
+              SELECT host, param, residue,
+                     count(DISTINCT value) AS nv,
+                     count(DISTINCT content_hash) AS nh
+              FROM ex GROUP BY 1, 2, 3)
+            SELECT host, param,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_noise_groups,
+                   sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_signal_groups,
+                   (sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 1
+                    AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0)
+                     AS is_ignorable
+            FROM g GROUP BY host, param
         """,
         "text_quality_classifier": r"""
             WITH w AS (

@@ -64,13 +64,75 @@ def write_warc(
     for object stores, point ``out_dir`` at a staging mount and commit
     the manifest to the catalog afterwards.
     """
+    def to_record(r) -> bytes:
+        return build_warc_record(
+            {
+                "url": r.url,
+                "ts": r.warc_ts.to_pydatetime(),
+                "status": int(r.http_status),
+                "content_type": r.content_type or "",
+                "body": bytes(r.html) if r.html is not None else b"",
+            }
+        )
+
+    cols = ["url", "warc_ts", "http_status", "content_type", "html"]
+    ext = ".warc.gz" if gz else ".warc"
+    return _write_segments(
+        df, cols, to_record, out_dir, n_segments, gz, prefix, ext
+    )
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    n_segments: int = 16,
+    gz: bool = True,
+    prefix: str = "segment",
+) -> DataFrame:
+    """Write (url, warc_ts, text) rows as ``n_segments`` WET files
+    (Common Crawl's extracted-text sidecar: WARC ``conversion`` records,
+    plain-UTF-8 payload, no HTTP envelope) under ``out_dir``; returns
+    the same manifest shape as ``write_warc``. Together with
+    ``write_warc`` and ``functions/surt.cdx_index`` this completes the
+    Common Crawl archive trio (WARC / WET / CDX). Identical scale
+    posture and byte-determinism contract as ``write_warc``."""
+    from ..sources.warc import build_wet_record
+
+    def to_record(r) -> bytes:
+        return build_wet_record(
+            {
+                "url": r.url,
+                "ts": r.warc_ts.to_pydatetime(),
+                "text": r.text,
+            }
+        )
+
+    ext = ".warc.wet.gz" if gz else ".warc.wet"
+    return _write_segments(
+        df, ["url", "warc_ts", "text"], to_record, out_dir, n_segments,
+        gz, prefix, ext,
+    )
+
+
+def _write_segments(
+    df: DataFrame,
+    cols: list,
+    to_record,
+    out_dir: str,
+    n_segments: int,
+    gz: bool,
+    prefix: str,
+    ext: str,
+) -> DataFrame:
+    """Shared segment machinery for the archive sinks: deterministic
+    ``crc32(url) % n_segments`` bucketing JVM-side, one file per bucket
+    written record-at-a-time inside ``applyInPandas`` with a
+    write-temp + atomic-rename commit."""
     if n_segments < 1:
         raise ValueError("n_segments must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if gz else ".warc"
     width = max(5, len(str(n_segments - 1)))
 
-    cols = ["url", "warc_ts", "http_status", "content_type", "html"]
     staged = df.select(
         (F.crc32(F.col("url")) % n_segments).cast("int").alias("segment"),
         *cols,
@@ -99,19 +161,7 @@ def write_warc(
             else:
                 sink = f
             for r in pdf.itertuples():
-                sink.write(
-                    build_warc_record(
-                        {
-                            "url": r.url,
-                            "ts": r.warc_ts.to_pydatetime(),
-                            "status": int(r.http_status),
-                            "content_type": r.content_type or "",
-                            "body": bytes(r.html)
-                            if r.html is not None
-                            else b"",
-                        }
-                    )
-                )
+                sink.write(to_record(r))
             if gz:
                 sink.close()
         nbytes = os.path.getsize(tmp)

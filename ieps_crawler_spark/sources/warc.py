@@ -25,6 +25,7 @@ output (fixed ordering, no random record ids) so goldens are stable.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 from datetime import datetime
 
@@ -64,6 +65,29 @@ def build_warc_record(r: dict) -> bytes:
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("utf-8")
     return head + payload + _CRLF + _CRLF
+
+
+def build_wet_record(r: dict) -> bytes:
+    """Serialize ONE extracted-text record to WET (WARC conversion)
+    bytes — the Common Crawl *.warc.wet.gz layout: WARC-Type
+    ``conversion``, payload = the plain UTF-8 text with no HTTP
+    envelope. Record dict: {url, ts (datetime), text (str)}.
+    ``WARC-Refers-To`` (normally a UUID pointing at the response
+    record) is a deterministic content digest here — the sink's
+    byte-identical-rerun contract forbids UUIDs and wall clock."""
+    body = (r["text"] or "").encode("utf-8")
+    digest = hashlib.sha256(body).hexdigest()
+    ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {r['url']}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        f"WARC-Refers-To: <urn:sha256:{digest}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + body + _CRLF + _CRLF
 
 
 def build_warc_bytes(records: list[dict]) -> bytes:
@@ -167,3 +191,77 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+# ------------------------------------------------------------------ WET
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string, wet_file string"
+
+
+def parse_wet_bytes(data: bytes, source: str = "") -> list[tuple]:
+    """Linear scan over one WET file's bytes; yields
+    (url, warc_ts, text, wet_file) per ``conversion`` record. The
+    payload is the plain text itself (no HTTP envelope — that is what
+    distinguishes WET from WARC). Other record types and malformed
+    records are skipped, never fatal."""
+    if source.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    rows = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            nxt = data.find(b"WARC/1.", head_end)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            break
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if fields.get("warc-type") != "conversion":
+            continue
+        url = fields.get("warc-target-uri")
+        try:
+            ts = datetime.strptime(
+                fields.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
+            )
+        except ValueError:
+            continue
+        if not url:
+            continue
+        rows.append((url, ts, payload.decode("utf-8", "replace"), source))
+    return rows
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame over every conversion record in the WET files matched
+    by ``path`` (glob ok; .wet/.warc.wet and gzipped). Columns: url,
+    warc_ts, text, wet_file. Same scale posture as ``read_warc``: one
+    binaryFile task per segment, parsing inside ``mapInPandas``."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                out.extend(parse_wet_bytes(bytes(row["content"]), row["path"]))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "text", "wet_file"]
+            )
+
+    return files.select("path", "content").mapInPandas(parse, WET_SCHEMA)

@@ -1,0 +1,65 @@
+"""URL param-noise detection: hand-built fetch log with a known
+noise param (sid), a known signal param (page), an evidence-less
+param (ref), repeated-param composites, and query-less URLs."""
+
+from ieps_crawler_spark.operators.urlnoise import explode_params, param_noise
+
+
+def _fetch(spark):
+    rows = [
+        # sid varies, content does not -> noise evidence (two groups)
+        ("http://a.si/x?page=1&sid=1", "h1"),
+        ("http://a.si/x?page=1&sid=2", "h1"),
+        ("http://a.si/x?page=2&sid=3", "h2"),
+        ("http://a.si/x?page=2&sid=4", "h2"),
+        # page varies WITHOUT sid, content varies -> signal evidence
+        ("http://a.si/x?page=1", "h1"),
+        ("http://a.si/x?page=2", "h2"),
+        # single sighting: no multi-value group, stays unclassified
+        ("http://a.si/y?ref=z", "h3"),
+        # repeated param folds to ONE composite value
+        ("http://a.si/z?t=1&t=2", "h4"),
+        # no query string: contributes nothing
+        ("http://a.si/plain", "h5"),
+    ]
+    return spark.createDataFrame(rows, "url string, content_hash string")
+
+
+def test_param_noise_verdicts(spark):
+    out = {
+        (r["host"], r["param"]): r
+        for r in param_noise(_fetch(spark)).collect()
+    }
+    sid = out[("a.si", "sid")]
+    assert sid["is_ignorable"] and sid["n_noise_groups"] == 2
+    assert sid["n_signal_groups"] == 0
+
+    page = out[("a.si", "page")]
+    assert not page["is_ignorable"] and page["n_signal_groups"] >= 1
+
+    ref = out[("a.si", "ref")]
+    assert not ref["is_ignorable"]
+    assert ref["n_noise_groups"] == 0 and ref["n_signal_groups"] == 0
+
+    assert ("a.si", "t") in out  # repeated param present, single group
+    assert out[("a.si", "t")]["n_groups"] == 1
+
+
+def test_explode_params_shapes(spark):
+    rows = explode_params(_fetch(spark)).collect()
+    # query-less URL contributes nothing
+    assert all("plain" not in r["residue"] for r in rows)
+    # repeated param folds into one composite, sorted value
+    t = [r for r in rows if r["param"] == "t"]
+    assert len(t) == 1 and t[0]["value"] == "t=1&t=2"
+    # residue drops the param itself and keeps the rest sorted
+    sid1 = [
+        r for r in rows if r["param"] == "sid" and r["value"] == "sid=1"
+    ][0]
+    assert sid1["residue"] == "a.si/x?page=1"
+    page_alone = [
+        r
+        for r in rows
+        if r["param"] == "page" and r["residue"] == "a.si/x?"
+    ]
+    assert len(page_alone) == 2  # the two sid-less page URLs
