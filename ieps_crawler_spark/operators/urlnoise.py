@@ -119,3 +119,48 @@ def param_noise(
             (F.col("n_noise_groups") >= 1) & (F.col("n_signal_groups") == 0),
         )
     )
+
+
+def strip_params(
+    df: DataFrame, noise: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply a learned strip-list: rewrite ``url_col`` with every
+    ignorable param (per ``param_noise``'s host-scoped verdicts)
+    removed and the surviving query sorted — the canonical-collapse a
+    frontier gate runs at discovery time so ``?sid=`` variants stop
+    multiplying the URL space. URLs on hosts with no ignorable params,
+    and URLs with no query string, pass through byte-unchanged.
+
+    Scale posture: the strip-list aggregates to ONE small row per host
+    (collect_set of ignorable params — arity-bounded, never value-
+    bounded) and broadcasts; the rewrite is a codegen array filter.
+    Composable as ``frontier_gate=lambda cand: strip_params(cand,
+    noise, "canon_url")`` (plans/wave.py applies gates before the
+    in-batch first-wins dedup, so collapsed URLs dedup for free)."""
+    strip = (
+        noise.filter(F.col("is_ignorable"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("_strip"))
+    )
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    out = df.join(F.broadcast(strip), host == strip["host"], "left").drop(
+        strip["host"]
+    )
+    qarr = F.split(F.parse_url(F.col(url_col), F.lit("QUERY")), "&")
+    kept = F.array_sort(
+        F.filter(
+            qarr, lambda x: ~F.array_contains(F.col("_strip"), _pname(x))
+        )
+    )
+    base = F.substring_index(F.col(url_col), "?", 1)
+    rewritten = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return out.withColumn(
+        url_col,
+        F.when(
+            F.col("_strip").isNull()
+            | F.parse_url(F.col(url_col), F.lit("QUERY")).isNull(),
+            F.col(url_col),
+        ).otherwise(rewritten),
+    ).drop("_strip")

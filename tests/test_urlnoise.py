@@ -2,7 +2,11 @@
 noise param (sid), a known signal param (page), an evidence-less
 param (ref), repeated-param composites, and query-less URLs."""
 
-from ieps_crawler_spark.operators.urlnoise import explode_params, param_noise
+from ieps_crawler_spark.operators.urlnoise import (
+    explode_params,
+    param_noise,
+    strip_params,
+)
 
 
 def _fetch(spark):
@@ -43,6 +47,43 @@ def test_param_noise_verdicts(spark):
 
     assert ("a.si", "t") in out  # repeated param present, single group
     assert out[("a.si", "t")]["n_groups"] == 1
+
+
+def test_strip_params_applies_learned_list(spark):
+    noise = param_noise(_fetch(spark))
+    urls = spark.createDataFrame(
+        [
+            # sid is ignorable on a.si -> stripped, rest kept sorted
+            ("http://a.si/x?sid=9&page=3",),
+            # only the ignorable param -> query dropped entirely
+            ("http://a.si/x?sid=9",),
+            # page is signal -> untouched
+            ("http://a.si/x?page=3",),
+            # no query -> byte-unchanged
+            ("http://a.si/plain",),
+            # unknown host -> byte-unchanged even with a sid param
+            ("http://b.si/x?sid=1&page=2",),
+        ],
+        "url string",
+    )
+    got = [r["url"] for r in strip_params(urls, noise).collect()]
+    assert got == [
+        "http://a.si/x?page=3",
+        "http://a.si/x",
+        "http://a.si/x?page=3",
+        "http://a.si/plain",
+        "http://b.si/x?sid=1&page=2",
+    ]
+
+
+def test_strip_params_collapses_variants_to_one_key(spark):
+    noise = param_noise(_fetch(spark))
+    variants = spark.createDataFrame(
+        [(f"http://a.si/x?page=1&sid={i}",) for i in range(5)],
+        "url string",
+    )
+    out = strip_params(variants, noise).select("url").distinct().collect()
+    assert [r["url"] for r in out] == ["http://a.si/x?page=1"]
 
 
 def test_explode_params_shapes(spark):
