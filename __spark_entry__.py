@@ -1362,9 +1362,16 @@ def q_crawl_param_noise(spark, sf_dir):
     generator's inverse, no URL parsing needed in SQL)."""
     from ieps_crawler_spark.operators.urlnoise import param_noise
 
+    return param_noise(_param_noise_fetch_log(spark, sf_dir))
+
+
+def _param_noise_fetch_log(spark, sf_dir):
+    """The shared synthetic fetch log for the param-noise pair: page
+    determines content, sid is a unique-per-fetch session id, utm a
+    low-cardinality tracking code; hash covers host+path+page only."""
     d = F.col("doc_id")
     docs = _read(spark, sf_dir, "documents")
-    fetch = docs.select(
+    return docs.select(
         F.concat(
             F.lit("http://h"), F.pmod(d, F.lit(3)).cast("string"),
             F.lit(".gov.si/p"), F.pmod(d, F.lit(4)).cast("string"),
@@ -1386,7 +1393,30 @@ def q_crawl_param_noise(spark, sf_dir):
             )
         ).alias("content_hash"),
     )
-    return param_noise(fetch)
+
+
+def q_crawl_strip_params(spark, sf_dir):
+    """The actionable half of param-noise: learn the per-host
+    ignorable-param list from the same synthetic fetch log as
+    crawl_param_noise, then strip_params-rewrite every URL with those
+    params removed (surviving query sorted) — the discovery-time
+    canonical collapse a frontier gate runs so ?sid= variants stop
+    multiplying the URL space. Returns (url, stripped, changed); the
+    oracle replays learn + rewrite from doc_id arithmetic."""
+    from ieps_crawler_spark.operators.urlnoise import param_noise, strip_params
+
+    fetch = _param_noise_fetch_log(spark, sf_dir)
+    noise = param_noise(fetch)
+    # strip_params rewrites IN PLACE (row identity preserved), so carry
+    # the original along as a second column — no join
+    out = strip_params(
+        fetch.select("url", F.col("url").alias("stripped")), noise, "stripped"
+    )
+    return out.select(
+        "url",
+        "stripped",
+        (F.col("url") != F.col("stripped")).alias("changed"),
+    )
 
 
 def q_crawl_url_filter(spark, sf_dir):
@@ -2024,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "source_wet_roundtrip": q_source_wet_roundtrip,
         "crawl_param_noise": q_crawl_param_noise,
+        "crawl_strip_params": q_crawl_strip_params,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -4450,6 +4481,76 @@ def oracle_sql() -> dict[str, str]:
                     AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0)
                      AS is_ignorable
             FROM g GROUP BY host, param
+        """,
+        # learn (same CTEs as crawl_param_noise) then rewrite: kept
+        # params sorted, '?' dropped when nothing survives, hosts with
+        # no strip-list pass through byte-unchanged
+        "crawl_strip_params": r"""
+            WITH caps AS (
+              SELECT 'http://h' || (doc_id % 3)::VARCHAR || '.gov.si/p'
+                       || (doc_id % 4)::VARCHAR || '?page='
+                       || (doc_id % 5)::VARCHAR
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '&sid=' || doc_id::VARCHAR ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '&utm=' || (doc_id % 7)::VARCHAR
+                               ELSE '' END AS url,
+                     'h' || (doc_id % 3)::VARCHAR || '.gov.si' AS host,
+                     'h' || (doc_id % 3)::VARCHAR || '.gov.si/p'
+                       || (doc_id % 4)::VARCHAR AS base,
+                     md5('h' || (doc_id % 3)::VARCHAR || '.gov.si/p'
+                         || (doc_id % 4)::VARCHAR
+                         || (doc_id % 5)::VARCHAR) AS content_hash,
+                     list_filter([
+                       {'p': 'page', 'kv': 'page=' || (doc_id % 5)::VARCHAR},
+                       CASE WHEN doc_id % 2 = 0 THEN
+                         {'p': 'sid', 'kv': 'sid=' || doc_id::VARCHAR} END,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                         {'p': 'utm', 'kv': 'utm=' || (doc_id % 7)::VARCHAR} END
+                     ], x -> x IS NOT NULL) AS plist
+              FROM documents),
+            ex AS (
+              SELECT host, u.p AS param, u.kv AS value,
+                     concat(base, '?', array_to_string(
+                       list_sort(list_transform(
+                         list_filter(plist, x -> x.p <> u.p),
+                         x -> x.kv)), '&')) AS residue,
+                     content_hash
+              FROM caps, UNNEST(plist) AS t(u)),
+            g AS (
+              SELECT host, param, residue,
+                     count(DISTINCT value) AS nv,
+                     count(DISTINCT content_hash) AS nh
+              FROM ex GROUP BY 1, 2, 3),
+            verd AS (
+              SELECT host, param
+              FROM g GROUP BY host, param
+              HAVING sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 1
+                 AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0),
+            strip AS (
+              SELECT host, list(param) AS ig FROM verd GROUP BY host)
+            SELECT c.url,
+                   CASE WHEN s.host IS NULL THEN c.url
+                        ELSE concat('http://', c.base,
+                          CASE WHEN len(list_filter(c.plist,
+                                 x -> NOT list_contains(s.ig, x.p))) > 0
+                               THEN '?' || array_to_string(list_sort(
+                                 list_transform(list_filter(c.plist,
+                                   x -> NOT list_contains(s.ig, x.p)),
+                                 x -> x.kv)), '&')
+                               ELSE '' END)
+                   END AS stripped,
+                   (c.url <> CASE WHEN s.host IS NULL THEN c.url
+                        ELSE concat('http://', c.base,
+                          CASE WHEN len(list_filter(c.plist,
+                                 x -> NOT list_contains(s.ig, x.p))) > 0
+                               THEN '?' || array_to_string(list_sort(
+                                 list_transform(list_filter(c.plist,
+                                   x -> NOT list_contains(s.ig, x.p)),
+                                 x -> x.kv)), '&')
+                               ELSE '' END)
+                   END) AS changed
+            FROM caps c LEFT JOIN strip s ON c.host = s.host
         """,
         "text_quality_classifier": r"""
             WITH w AS (
