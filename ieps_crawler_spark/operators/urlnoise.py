@@ -50,7 +50,12 @@ def explode_params(
     combined value (all occurrences, sorted, '&'-joined — a repeated
     ``p=1&p=2`` is ONE composite value), and the residue key. URLs
     without a query string contribute nothing."""
-    qarr = F.split(F.parse_url(F.col(url_col), F.lit("QUERY")), "&")
+    # drop empty tokens: a bare trailing '?' or '?&a=1' yields '' items
+    # from split, which would otherwise fabricate a '' param
+    qarr = F.filter(
+        F.split(F.parse_url(F.col(url_col), F.lit("QUERY")), "&"),
+        lambda x: x != "",
+    )
     base = F.concat(
         F.parse_url(F.col(url_col), F.lit("HOST")),
         F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
@@ -146,7 +151,10 @@ def strip_params(
     out = df.join(F.broadcast(strip), host == strip["host"], "left").drop(
         strip["host"]
     )
-    qarr = F.split(F.parse_url(F.col(url_col), F.lit("QUERY")), "&")
+    qarr = F.filter(
+        F.split(F.parse_url(F.col(url_col), F.lit("QUERY")), "&"),
+        lambda x: x != "",
+    )
     kept = F.array_sort(
         F.filter(
             qarr, lambda x: ~F.array_contains(F.col("_strip"), _pname(x))

@@ -25,6 +25,10 @@ def _fetch(spark):
         ("http://a.si/z?t=1&t=2", "h4"),
         # no query string: contributes nothing
         ("http://a.si/plain", "h5"),
+        # degenerate queries: bare '?' and '?&k=v' must not fabricate
+        # a '' param (split yields empty tokens)
+        ("http://a.si/q?", "h6"),
+        ("http://a.si/r?&t=1", "h7"),
     ]
     return spark.createDataFrame(rows, "url string, content_hash string")
 
@@ -45,8 +49,11 @@ def test_param_noise_verdicts(spark):
     assert not ref["is_ignorable"]
     assert ref["n_noise_groups"] == 0 and ref["n_signal_groups"] == 0
 
-    assert ("a.si", "t") in out  # repeated param present, single group
-    assert out[("a.si", "t")]["n_groups"] == 1
+    assert ("a.si", "t") in out  # repeated param folds to one sighting
+    # one group per residue: /z (composite t) and /r (degenerate '?&')
+    assert out[("a.si", "t")]["n_groups"] == 2
+    # degenerate queries never fabricate a '' param
+    assert not [k for k in out if k[1] == ""], sorted(out)
 
 
 def test_strip_params_applies_learned_list(spark):
@@ -91,8 +98,12 @@ def test_explode_params_shapes(spark):
     # query-less URL contributes nothing
     assert all("plain" not in r["residue"] for r in rows)
     # repeated param folds into one composite, sorted value
-    t = [r for r in rows if r["param"] == "t"]
-    assert len(t) == 1 and t[0]["value"] == "t=1&t=2"
+    t = sorted(
+        (r["value"] for r in rows if r["param"] == "t"), reverse=True
+    )
+    assert t == ["t=1&t=2", "t=1"]
+    # degenerate '?' / '?&' queries contribute no '' param rows
+    assert all(r["param"] != "" for r in rows)
     # residue drops the param itself and keeps the rest sorted
     sid1 = [
         r for r in rows if r["param"] == "sid" and r["value"] == "sid=1"
