@@ -4475,10 +4475,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_groups,
                    sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END)::BIGINT
                      AS n_noise_groups,
-                   sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END)::BIGINT
-                     AS n_signal_groups,
+                   sum(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_signal_groups,
                    (sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 1
-                    AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0)
+                    AND sum(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END)
+                          = 0)
                      AS is_ignorable
             FROM g GROUP BY host, param
         """,
@@ -4526,7 +4527,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT host, param
               FROM g GROUP BY host, param
               HAVING sum(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 1
-                 AND sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) = 0),
+                 AND sum(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END) = 0),
             strip AS (
               SELECT host, list(param) AS ig FROM verd GROUP BY host)
             SELECT c.url,

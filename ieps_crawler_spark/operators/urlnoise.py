@@ -17,9 +17,12 @@ The rule, per (host, param):
   query sorted. URLs sharing a residue differ ONLY in that param.
 - A residue group with >= 2 distinct param values and exactly 1
   distinct content hash is noise evidence (the value varied, content
-  did not). A group with >= 2 distinct hashes is signal evidence
-  (within the group nothing else varies, so content differences are
-  attributable to the param).
+  did not). A group with >= 2 distinct VALUES and >= 2 distinct hashes
+  is signal evidence (within the group nothing else varies, so content
+  differences co-occurring with value differences are attributable to
+  the param). A single-value group with hash variance is NEITHER — the
+  param never varied there, so the content change (a re-crawl of a
+  dynamic page) cannot be pinned on it and must not veto a verdict.
 - A param is ``ignorable`` iff it has at least one noise-evidence
   group and zero signal-evidence groups. Params with no multi-value
   groups stay unclassified (is_ignorable false, n_noise_groups 0) —
@@ -111,7 +114,7 @@ def param_noise(
         )
     )
     noise = (F.col("_nv") >= 2) & (F.col("_nh") == 1)
-    signal = F.col("_nh") >= 2
+    signal = (F.col("_nv") >= 2) & (F.col("_nh") >= 2)
     return (
         grouped.groupBy("host", "param")
         .agg(
@@ -161,9 +164,19 @@ def strip_params(
         )
     )
     base = F.substring_index(F.col(url_col), "?", 1)
-    rewritten = F.when(
-        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(base)
+    # fragments live after the query: re-attach so the rewrite never
+    # mutates the URL beyond param removal/sorting
+    ref = F.parse_url(F.col(url_col), F.lit("REF"))
+    frag = F.when(
+        ref.isNotNull(), F.concat(F.lit("#"), ref)
+    ).otherwise(F.lit(""))
+    rewritten = F.concat(
+        F.when(
+            F.size(kept) > 0,
+            F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(base),
+        frag,
+    )
     return out.withColumn(
         url_col,
         F.when(

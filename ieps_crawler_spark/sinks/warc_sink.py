@@ -14,19 +14,22 @@ to the format the north star's corpus actually ships in.
 
 Scale posture (100 TB design):
 - One WARC segment file per deterministic ``hash(url) % n_segments``
-  bucket, one bucket per task (``groupBy(segment).applyInPandas``), so
-  writers never coordinate and the shuffle moves each page exactly
-  once. 100 TB at ~1 GB/segment is ~100k buckets — the same segment
-  granularity Common Crawl itself uses.
-- Bytes are assembled per-bucket inside Arrow batches (never
-  per-row Python over rows crossing tasks) and streamed to ONE file
-  per task with a write-temp + atomic-rename commit, so a re-executed
-  task (Spark retry) can never leave a torn segment behind.
-- Deterministic output: records sort by (url, warc_ts) inside a
-  segment, the gzip header carries mtime=0, and record headers contain
-  no UUIDs or wall clock — re-running the sink on the same input
-  yields byte-identical segments (asserted in tests), which is what
-  makes archive diffs and resume audits possible at fleet scale.
+  bucket, segments clustered per task (repartition + segment-sorted
+  ``mapInPandas`` streaming over Arrow batches), so writers never
+  coordinate and the shuffle moves each page exactly once. 100 TB at
+  ~1 GB/segment is ~100k buckets — the same segment granularity
+  Common Crawl itself uses.
+- The writer STREAMS: it holds one Arrow batch and one open file at a
+  time (switching files on segment change), so task heap is O(batch)
+  regardless of segment size; write-temp + atomic-rename commit with
+  a task-attempt-unique temp name means a re-executed or speculative
+  task can never leave a torn segment behind.
+- Deterministic output: records sort by (url, warc_ts, md5(row)) —
+  the content tiebreak covers equal-(url, ts) duplicates — the gzip
+  header carries mtime=0, and record headers contain no UUIDs or wall
+  clock, so re-running the sink on the same input yields
+  byte-identical segments (asserted in tests), which is what makes
+  archive diffs and resume audits possible at fleet scale.
 
 The sink returns a small manifest DataFrame (warc_file, records,
 bytes) rather than writing one — callers append it to their own
@@ -114,6 +117,22 @@ def write_wet(
     )
 
 
+def _task_attempt_tag() -> str:
+    """Temp-name disambiguator unique across CONCURRENT attempts of the
+    same work (speculative execution / retries on a shared out_dir):
+    pids alone collide across executor hosts, taskAttemptId is unique
+    application-wide."""
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None:
+            return f"{tc.stageId()}-{tc.partitionId()}-{tc.taskAttemptId()}"
+    except Exception:
+        pass
+    return f"pid{os.getpid()}"
+
+
 def _write_segments(
     df: DataFrame,
     cols: list,
@@ -125,51 +144,88 @@ def _write_segments(
     ext: str,
 ) -> DataFrame:
     """Shared segment machinery for the archive sinks: deterministic
-    ``crc32(url) % n_segments`` bucketing JVM-side, one file per bucket
-    written record-at-a-time inside ``applyInPandas`` with a
-    write-temp + atomic-rename commit."""
+    ``crc32(url) % n_segments`` bucketing JVM-side, segment-clustered
+    sort, then ONE STREAMING pass per task (``mapInPandas`` over the
+    sorted Arrow batches, switching output files on segment change).
+
+    Memory: peak Python heap is O(one Arrow batch) — the earlier
+    ``groupBy().applyInPandas`` shape materialized the WHOLE segment as
+    one pandas frame first, so a ~1 GB segment needed multiple GB of
+    task memory exactly at the design point; the streaming shape holds
+    only the in-flight batch regardless of segment size.
+
+    Determinism: rows sort by (segment, url, warc_ts, md5(full row)) —
+    the md5 tiebreak makes even equal-(url, ts) duplicates with
+    different payloads order identically run to run, so segment bytes
+    are rerun-stable. Commit is write-temp + atomic rename per file
+    with a task-attempt-unique temp name: concurrent attempts never
+    share a temp file, and whichever attempt renames last installs the
+    same deterministic bytes."""
     if n_segments < 1:
         raise ValueError("n_segments must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
     width = max(5, len(str(n_segments - 1)))
 
-    staged = df.select(
-        (F.crc32(F.col("url")) % n_segments).cast("int").alias("segment"),
-        *cols,
+    staged = (
+        df.select(
+            (F.crc32(F.col("url")) % n_segments).cast("int").alias("segment"),
+            # full-row content tiebreak (binary -> base64 via to_json,
+            # deterministic); null fields are omitted by to_json, which
+            # is fine — omission is itself deterministic
+            F.md5(F.to_json(F.struct(*cols))).alias("_tb"),
+            *cols,
+        )
+        .repartition(n_segments, "segment")
+        .sortWithinPartitions("segment", "url", "warc_ts", "_tb")
     )
 
-    def write_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["segment"].iloc[0])
-        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
-        name = f"{prefix}-{seg:0{width}d}{ext}"
-        final = os.path.join(out_dir, name)
-        tmp = final + f".inprogress-{os.getpid()}"
-        # Stream record-by-record through the (optionally gzip) file
-        # handle: peak Python heap is O(one record), not O(segment) —
-        # a ~1 GB segment must not need 3-4 GB of task memory.
-        with open(tmp, "wb") as f:
-            if gz:
-                # mtime=0 + filename="" keep the gzip header constant:
-                # over a NAMED file GzipFile would embed the temp name
-                # (which carries the executor worker's pid) in the FNAME
-                # field, making bytes differ across workers/retries.
-                # Record-at-a-time feeding is chunking-invariant in
-                # zlib, so rerun bytes still match.
-                sink = gzip.GzipFile(
-                    filename="", fileobj=f, mode="wb", mtime=0
-                )
-            else:
-                sink = f
-            for r in pdf.itertuples():
-                sink.write(to_record(r))
+    def write_stream(batches):
+        # one open file at a time; a partition may carry several
+        # segments (hash collision) — the sort keeps each contiguous
+        attempt = _task_attempt_tag()
+        manifests: list = []
+        cur: list | None = None  # [seg, sink, raw, tmp, final, count]
+
+        def close_cur():
+            nonlocal cur
+            if cur is None:
+                return
+            _, sink, raw, tmp, final, count = cur
             if gz:
                 sink.close()
-        nbytes = os.path.getsize(tmp)
-        os.replace(tmp, final)  # atomic on POSIX: retries can't tear
-        return pd.DataFrame(
-            {"warc_file": [final], "records": [len(pdf)], "bytes": [nbytes]}
+            raw.close()
+            nbytes = os.path.getsize(tmp)
+            os.replace(tmp, final)  # atomic on POSIX: retries can't tear
+            manifests.append((final, count, nbytes))
+            cur = None
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                seg = int(r.segment)
+                if cur is None or cur[0] != seg:
+                    close_cur()
+                    name = f"{prefix}-{seg:0{width}d}{ext}"
+                    final = os.path.join(out_dir, name)
+                    tmp = final + f".inprogress-{attempt}"
+                    raw = open(tmp, "wb")
+                    if gz:
+                        # mtime=0 + filename="" keep the gzip header
+                        # constant: over a NAMED file GzipFile would
+                        # embed the temp name in the FNAME field,
+                        # making bytes differ across workers/retries.
+                        # Record-at-a-time feeding is chunking-
+                        # invariant in zlib, so rerun bytes match.
+                        sink = gzip.GzipFile(
+                            filename="", fileobj=raw, mode="wb", mtime=0
+                        )
+                    else:
+                        sink = raw
+                    cur = [seg, sink, raw, tmp, final, 0]
+                cur[1].write(to_record(r))
+                cur[5] += 1
+        close_cur()
+        yield pd.DataFrame(
+            manifests, columns=["warc_file", "records", "bytes"]
         )
 
-    return staged.groupBy("segment").applyInPandas(
-        write_segment, MANIFEST_SCHEMA
-    )
+    return staged.mapInPandas(write_stream, MANIFEST_SCHEMA)

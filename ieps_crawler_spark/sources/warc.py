@@ -102,15 +102,15 @@ def build_warc_bytes(records: list[dict]) -> bytes:
 
 # ------------------------------------------------------------------ parser
 
-def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
-    """Linear scan over one WARC file's bytes; yields
-    (url, warc_ts, http_status, content_type, html, warc_file) per
-    ``response`` record. Non-response records (warcinfo, request,
-    metadata) and malformed records are skipped, never fatal — at
+def _iter_warc_records(data: bytes, source: str = ""):
+    """Shared record-framing walk over one WARC-family file's bytes:
+    gzip sniff, header find/resync, field parse, Content-Length payload
+    slice, trailing-CRLF skip. Yields (fields, payload) per record —
+    the WARC/WET parsers differ only in what they extract from those.
+    Malformed records are skipped or end the file, never fatal — at
     100k-file scale a poison record must not kill the ingest."""
     if source.endswith(".gz") or data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    rows = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -134,20 +134,43 @@ def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
             length = int(fields.get("content-length", ""))
         except ValueError:
             break  # cannot locate the payload boundary; stop this file
+        if length < 0:
+            # adversarial/corrupt header: a negative length would move
+            # pos BACKWARDS (infinite loop wedging the ingest task) —
+            # treat as unframeable and stop this file
+            break
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         while data[pos : pos + 2] == _CRLF:
             pos += 2
+        yield fields, payload
+
+
+def _parse_warc_ts(fields: dict):
+    """WARC-Date as a NAIVE UTC datetime (the engine session runs
+    spark.sql.session.timeZone = UTC, so naive objects land exactly;
+    tz-aware objects would round-trip through Arrow's tz handling
+    instead). None when missing/malformed."""
+    try:
+        return datetime.strptime(
+            fields.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
+        )
+    except ValueError:
+        return None
+
+
+def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
+    """One WARC file's bytes → (url, warc_ts, http_status,
+    content_type, html, warc_file) per ``response`` record.
+    Non-response records (warcinfo, request, metadata) and malformed
+    records are skipped, never fatal."""
+    rows = []
+    for fields, payload in _iter_warc_records(data, source):
         if fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri")
-        ts_raw = fields.get("warc-date", "")
-        try:
-            # naive UTC: the engine session runs spark.sql.session.timeZone
-            # = UTC, so naive objects land exactly; tz-aware objects would
-            # round-trip through Arrow's tz handling instead
-            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError:
+        ts = _parse_warc_ts(fields)
+        if ts is None:
             continue
         # split the HTTP head from the body
         http_end = payload.find(_CRLF + _CRLF)
@@ -171,26 +194,33 @@ def parse_warc_bytes(data: bytes, source: str = "") -> list[tuple]:
 
 # ------------------------------------------------------------------ reader
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """DataFrame over every response record in the WARC files matched by
-    ``path`` (glob ok; .warc and .warc.gz). Columns: url, warc_ts,
-    http_status, content_type, html (body bytes), warc_file."""
+def _read_archive(
+    spark: SparkSession, path: str, parse_fn, columns: list, schema: str
+) -> DataFrame:
+    """Shared binaryFile → mapInPandas wrapper for the archive readers:
+    one task per file, ``parse_fn(bytes, path)`` rows per record."""
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                out.extend(parse_warc_bytes(bytes(row["content"]), row["path"]))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "url", "warc_ts", "http_status", "content_type",
-                    "html", "warc_file",
-                ],
-            )
+                out.extend(parse_fn(bytes(row["content"]), row["path"]))
+            yield pd.DataFrame(out, columns=columns)
 
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame over every response record in the WARC files matched by
+    ``path`` (glob ok; .warc and .warc.gz). Columns: url, warc_ts,
+    http_status, content_type, html (body bytes), warc_file."""
+    return _read_archive(
+        spark, path, parse_warc_bytes,
+        ["url", "warc_ts", "http_status", "content_type", "html",
+         "warc_file"],
+        WARC_SCHEMA,
+    )
 
 
 # ------------------------------------------------------------------ WET
@@ -199,50 +229,17 @@ WET_SCHEMA = "url string, warc_ts timestamp, text string, wet_file string"
 
 
 def parse_wet_bytes(data: bytes, source: str = "") -> list[tuple]:
-    """Linear scan over one WET file's bytes; yields
-    (url, warc_ts, text, wet_file) per ``conversion`` record. The
-    payload is the plain text itself (no HTTP envelope — that is what
-    distinguishes WET from WARC). Other record types and malformed
-    records are skipped, never fatal."""
-    if source.endswith(".gz") or data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+    """One WET file's bytes → (url, warc_ts, text, wet_file) per
+    ``conversion`` record. The payload is the plain text itself (no
+    HTTP envelope — that is what distinguishes WET from WARC). Other
+    record types and malformed records are skipped, never fatal."""
     rows = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            break
-        head = data[pos:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            nxt = data.find(b"WARC/1.", head_end)
-            if nxt < 0:
-                break
-            pos = nxt
-            continue
-        fields = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields.get("content-length", ""))
-        except ValueError:
-            break
-        payload = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
+    for fields, payload in _iter_warc_records(data, source):
         if fields.get("warc-type") != "conversion":
             continue
         url = fields.get("warc-target-uri")
-        try:
-            ts = datetime.strptime(
-                fields.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
-            )
-        except ValueError:
-            continue
-        if not url:
+        ts = _parse_warc_ts(fields)
+        if ts is None or not url:
             continue
         rows.append((url, ts, payload.decode("utf-8", "replace"), source))
     return rows
@@ -253,15 +250,8 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     by ``path`` (glob ok; .wet/.warc.wet and gzipped). Columns: url,
     warc_ts, text, wet_file. Same scale posture as ``read_warc``: one
     binaryFile task per segment, parsing inside ``mapInPandas``."""
-    files = spark.read.format("binaryFile").load(path)
-
-    def parse(batches):
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                out.extend(parse_wet_bytes(bytes(row["content"]), row["path"]))
-            yield pd.DataFrame(
-                out, columns=["url", "warc_ts", "text", "wet_file"]
-            )
-
-    return files.select("path", "content").mapInPandas(parse, WET_SCHEMA)
+    return _read_archive(
+        spark, path, parse_wet_bytes,
+        ["url", "warc_ts", "text", "wet_file"],
+        WET_SCHEMA,
+    )

@@ -29,6 +29,11 @@ def _fetch(spark):
         # a '' param (split yields empty tokens)
         ("http://a.si/q?", "h6"),
         ("http://a.si/r?&t=1", "h7"),
+        # re-crawl of a dynamic page: sid value NEVER varied here, so
+        # the hash change is not attributable to sid and must not veto
+        # its ignorable verdict (single-value group = no evidence)
+        ("http://a.si/w?sid=9", "hw1"),
+        ("http://a.si/w?sid=9", "hw2"),
     ]
     return spark.createDataFrame(rows, "url string, content_hash string")
 
@@ -40,6 +45,7 @@ def test_param_noise_verdicts(spark):
     }
     sid = out[("a.si", "sid")]
     assert sid["is_ignorable"] and sid["n_noise_groups"] == 2
+    # the /w re-crawl group (1 value, 2 hashes) is NOT signal evidence
     assert sid["n_signal_groups"] == 0
 
     page = out[("a.si", "page")]
@@ -70,6 +76,8 @@ def test_strip_params_applies_learned_list(spark):
             ("http://a.si/plain",),
             # unknown host -> byte-unchanged even with a sid param
             ("http://b.si/x?sid=1&page=2",),
+            # fragment survives the rewrite
+            ("http://a.si/x?sid=4&page=5#sec",),
         ],
         "url string",
     )
@@ -80,6 +88,7 @@ def test_strip_params_applies_learned_list(spark):
         "http://a.si/x?page=3",
         "http://a.si/plain",
         "http://b.si/x?sid=1&page=2",
+        "http://a.si/x?page=5#sec",
     ]
 
 

@@ -68,6 +68,39 @@ def test_wet_bytes_deterministic(spark, tmp_path):
     assert ha and ha == hb
 
 
+def test_wet_tie_rows_deterministic(spark, tmp_path):
+    # equal (url, warc_ts) with DIFFERENT payloads: the md5 row
+    # tiebreak must order them identically run to run
+    rows = [
+        ("http://a.si/t", TS, "zz alt"),
+        ("http://a.si/t", TS, "aa alt"),
+        ("http://a.si/u", TS, "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    a, b = str(tmp_path / "ta"), str(tmp_path / "tb")
+    write_wet(df, a, n_segments=2).collect()
+    write_wet(
+        spark.createDataFrame(
+            list(reversed(rows)), "url string, warc_ts timestamp, text string"
+        ),
+        b,
+        n_segments=2,
+    ).collect()
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.sha256(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(d, "segment-*"))
+        }
+
+    ha, hb = hashes(a), hashes(b)
+    assert ha and ha == hb
+
+
 def test_wet_record_shape():
     rec = build_wet_record({"url": "http://x.si/", "ts": TS, "text": "ab ž"})
     head, _, body = rec.partition(b"\r\n\r\n")
@@ -78,6 +111,24 @@ def test_wet_record_shape():
     assert body == "ab ž".encode() + b"\r\n\r\n"
     # deterministic refers-to digest, no UUIDs
     assert hashlib.sha256("ab ž".encode()).hexdigest().encode() in head
+
+
+def test_negative_content_length_terminates():
+    # adversarial header: length = -(header+4) would move the scan
+    # cursor BACKWARDS and wedge the task forever without the guard
+    from ieps_crawler_spark.sources.warc import parse_warc_bytes
+
+    poison = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+    )
+    good = build_wet_record({"url": "http://x.si/c", "ts": TS, "text": "t"})
+    # both parsers share the framing walk: each must terminate and
+    # simply stop at the unframeable record
+    assert parse_warc_bytes(poison + good) == []
+    assert parse_wet_bytes(poison + good) == []
+    # and a poison record AFTER a good one keeps the good one
+    rows = parse_wet_bytes(good + poison)
+    assert [(r[0], r[2]) for r in rows] == [("http://x.si/c", "t")]
 
 
 def test_wet_parser_skips_response_records(tmp_path):
