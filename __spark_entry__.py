@@ -4655,15 +4655,16 @@ def oracle_sql() -> dict[str, str]:
               FROM hist),
             cuts AS (
               SELECT lang,
-                     min(CASE WHEN c >= ceil(0.34 * n) THEN v END) AS t1,
-                     min(CASE WHEN c >= ceil(0.67 * n) THEN v END) AS t2
+                     min(CASE WHEN c >= ceil((1.0/3.0) * n) THEN v END) AS t1,
+                     min(CASE WHEN c >= ceil((2.0/3.0) * n) THEN v END) AS t2
               FROM cum GROUP BY lang)
             SELECT s.doc_id, s.lang, s.logit_micro,
                    CASE WHEN s.logit_micro IS NULL THEN 'tail'
                         WHEN s.logit_micro <= c.t1 THEN 'head'
                         WHEN s.logit_micro <= c.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
-            FROM scored s LEFT JOIN cuts c USING (lang)
+            FROM scored s LEFT JOIN cuts c
+              ON s.lang IS NOT DISTINCT FROM c.lang
         """,
         "crawl_cdx_index": r"""
             WITH pages AS (

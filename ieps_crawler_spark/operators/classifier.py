@@ -10,8 +10,9 @@ layer over a hashed bag-of-n-grams — the fastText architecture with the
 embedding dimension collapsed to 1, which is what production quality
 filters actually deploy (a calibrated linear head). Weights live in
 exact integer milli-units so every distributed aggregate is bigint
-algebra: partition-order-free, overflow-safe (|w|≤1000 milli ⇒ a doc
-needs >9e15 grams to wrap), and value-hashable by the DuckDB gate. The
+algebra: partition-order-free, overflow-safe (synthetic |w| ≤ 1999
+milli ⇒ a doc needs >4.6e15 grams to wrap bigint), and value-hashable
+by the DuckDB gate. The
 float probability is a driver-side convenience column derived from the
 exact logit and rounded to 6 — the keep/drop DECISION thresholds the
 integer logit, never the float.
@@ -39,9 +40,10 @@ from pyspark.sql import functions as F
 
 from .dsir import DEFAULT_BUCKETS, gram_buckets
 
-# weights are odd milli-units in [-999, 999]: pmod(h, 1000) is uniform
-# over [0,1000), doubled+1 keeps ties off the 0 boundary so label
-# flips cannot hinge on a sum landing exactly on the threshold
+# weights are ODD milli-units with |w| in [1, 1999]: pmod(h, 1000) is
+# uniform over [0, 1000), doubled+1 gives odd magnitudes (never 0, so
+# every bucket pulls some direction and odd sums keep ties off the 0
+# decision boundary); the next hash bit picks the sign
 _W_SPAN = 1000
 
 
@@ -161,18 +163,30 @@ def score_tertile_buckets(
     """
     from .stats import disc_quantiles, quantile_col_name
 
-    ps = (0.34, 0.67)  # ceil semantics put these at the 1/3 and 2/3 marks
+    # exact tertiles: ceil(n/3) / ceil(2n/3) ranks (1/3 and 2/3 as
+    # doubles sit just under the true ratios, so ceil(p*n) lands
+    # exactly at ceil(n/3)/ceil(2n/3) for every n — approximations
+    # like 0.34/0.67 systematically over-fill the head)
+    ps = (1 / 3, 2 / 3)
     cuts = disc_quantiles(
         scored.filter(F.col(score_col).isNotNull()),
         [group_col],
         score_col,
         ps=ps,
     ).select(
-        group_col,
+        F.col(group_col).alias("_g"),
         F.col(quantile_col_name(ps[0])).alias("_t1"),
         F.col(quantile_col_name(ps[1])).alias("_t2"),
     )
-    return scored.join(F.broadcast(cuts), group_col, "left").select(
+    # null-safe group join: groupBy keeps a null-group cutoff row, and
+    # an equi-join would drop it — silently bucketing every
+    # null-group doc 'tail' regardless of score
+    joined = scored.join(
+        F.broadcast(cuts),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+        "left",
+    )
+    return joined.select(
         id_col,
         group_col,
         score_col,

@@ -66,6 +66,7 @@ def resolve_redirect_chains(
     cap = max_hops + 1
     m = e.select("u", "w", F.lit(1).cast("long").alias("h"))
     m = m.localCheckpoint(eager=True)
+    m0 = m  # checkpointed round-0 mapping; reused for the terminal test
     rounds = max(1, math.ceil(math.log2(cap)) + 1)
     for _ in range(rounds):
         nxt = m.select(
@@ -86,8 +87,11 @@ def resolve_redirect_chains(
             .localCheckpoint(eager=True)
         )
     # terminal = never a source; a self-loop u -> u is its own source
-    # forever, so it lands in resolved = false like any other cycle
-    srcs = e.select(F.col("u").alias("w")).withColumn("_is_src", F.lit(True))
+    # forever, so it lands in resolved = false like any other cycle.
+    # Source set comes from the CHECKPOINTED round-0 mapping (same
+    # distinct-u set as e) — deriving it from e would re-scan and
+    # re-aggregate the raw edge table one extra time at crawl scale.
+    srcs = m0.select(F.col("u").alias("w")).withColumn("_is_src", F.lit(True))
     return m.join(srcs, "w", "left").select(
         F.col("u").alias(src_col),
         F.when(

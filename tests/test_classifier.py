@@ -101,12 +101,15 @@ def test_bias_and_threshold(spark):
 
 
 def test_tertile_buckets_per_group(spark):
-    # en: scores 1..9 -> ceil(.34*9)=4 => t1=4, ceil(.67*9)=7 => t2=7
+    # en: scores 1..9 -> exact thirds: t1=ceil(9/3)=3, t2=ceil(18/3)=6
     rows = [(i, "en", i) for i in range(1, 10)]
     # sl: constant score -> everything is 'head' (cutoffs collapse)
     rows += [(100 + i, "sl", 5) for i in range(4)]
     # de: null scores -> 'tail'
     rows += [(200, "de", None), (201, "de", None)]
+    # null lang is its own group (null-safe cutoff join), bucketed by
+    # its OWN tertiles — not dumped into 'tail'
+    rows += [(300, None, 1), (301, None, 2), (302, None, 3)]
     df = spark.createDataFrame(
         rows, "doc_id long, lang string, logit_micro long"
     )
@@ -115,15 +118,17 @@ def test_tertile_buckets_per_group(spark):
         for r in score_tertile_buckets(df).collect()
     }
     for i in range(1, 10):
-        want = "head" if i <= 4 else ("middle" if i <= 7 else "tail")
+        want = "head" if i <= 3 else ("middle" if i <= 6 else "tail")
         assert got[i] == want, (i, got[i])
     assert all(got[100 + i] == "head" for i in range(4))
     assert got[200] == "tail" and got[201] == "tail"
+    assert (got[300], got[301], got[302]) == ("head", "middle", "tail")
 
 
 def test_tertile_buckets_deterministic_under_ties(spark):
     # heavy ties: 6x score 10, 3x score 20 -> n=9, t1 = smallest v with
-    # cum>=4 -> 10, t2 = smallest v with cum>=7 -> 20
+    # cum>=3 -> 10, t2 = smallest v with cum>=6 -> ALSO 10 (the head
+    # tie-block swallows the middle cutoff), so the 20s are 'tail'
     rows = [(i, "en", 10) for i in range(6)] + [
         (10 + i, "en", 20) for i in range(3)
     ]
@@ -132,7 +137,7 @@ def test_tertile_buckets_deterministic_under_ties(spark):
     )
     got = {r["doc_id"]: r["bucket"] for r in score_tertile_buckets(df).collect()}
     assert all(got[i] == "head" for i in range(6))
-    assert all(got[10 + i] == "middle" for i in range(3))
+    assert all(got[10 + i] == "tail" for i in range(3))
 
 
 def test_no_python_stages_in_score_plan(spark):
