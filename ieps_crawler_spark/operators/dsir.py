@@ -184,12 +184,11 @@ def dsir_resample(
     sort, no shuffle of the text."""
     if k < 1:
         raise ValueError("dsir_resample needs k >= 1")
+    # column-API construction (no f-string SQL): a salt containing a
+    # quote, or an id_col needing backquoting, must not break the plan
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     u = (
-        F.expr(
-            f"cast(conv(substr(md5(concat({id_col}, '{salt}')), 1, 15), "
-            f"16, 10) AS BIGINT)"
-        )
-        + F.lit(1)
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") + F.lit(1)
     ) / F.lit(float(1 << 60))
     gumbel = -F.log(-F.log(u))
     return (

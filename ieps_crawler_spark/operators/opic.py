@@ -60,6 +60,7 @@ def _distribute(
     dst: str,
     n_nodes: int,
     min_id: int,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """One simultaneous cash-distribution step over ``edges`` plus the
     implicit virtual-root star. ``cash`` is (node_id, cash_mu,
@@ -81,9 +82,11 @@ def _distribute(
     real = cash.filter(F.col("node_id") != VIRTUAL_ID)
     root = cash.filter(F.col("node_id") == VIRTUAL_ID)
 
-    deg = edges.groupBy(F.col(src).alias("node_id")).agg(
-        F.count(F.lit(1)).alias("d_real")
-    )
+    if deg is None:
+        # static across iterations — loop callers precompute and pass it
+        deg = edges.groupBy(F.col(src).alias("node_id")).agg(
+            F.count(F.lit(1)).alias("d_real")
+        )
     giving = real.join(deg, "node_id", "left").withColumn(
         "d_real", F.coalesce(F.col("d_real"), F.lit(0))
     )
@@ -163,45 +166,69 @@ def opic_scores(
             F.col(dst).alias("d").cast("long"),
         )
         # self-loops are ignored (OPIC paper semantics: a page cannot
-        # pay itself); a node linking ONLY to itself becomes dangling
-        # and routes everything to the virtual root
+        # pay itself). NOTE: a node appearing ONLY in self-loops drops
+        # out of the node set entirely (filtered before _nodes derives
+        # it) and gets no score row — pinned in tests/test_opic.py.
+        # hyperball.py makes the opposite choice (endpoints stay); OPIC
+        # keys on link-graph participation, and a page with no real
+        # in/out links has none.
         .filter(F.col("s") != F.col("d"))
         .dropDuplicates(["s", "d"])
     )
-    cash = _nodes(e, "s", "d").select(
-        "node_id",
-        F.lit(MICRO).cast("long").alias("cash_mu"),
-        F.lit(0).cast("long").alias("history_mu"),
-    ).unionByName(
-        e.sparkSession.range(1).select(
-            F.lit(VIRTUAL_ID).cast("long").alias("node_id"),
-            F.lit(0).cast("long").alias("cash_mu"),
+    # every iteration scans e twice (degree join + inflow join) and
+    # re-derives lineage through it — cache once, release after the
+    # result is materialized (hyperball/graph.pagerank idiom)
+    e.cache()
+    try:
+        nodes = _nodes(e, "s", "d")
+        cash = nodes.select(
+            "node_id",
+            F.lit(MICRO).cast("long").alias("cash_mu"),
             F.lit(0).cast("long").alias("history_mu"),
+        ).unionByName(
+            e.sparkSession.range(1).select(
+                F.lit(VIRTUAL_ID).cast("long").alias("node_id"),
+                F.lit(0).cast("long").alias("cash_mu"),
+                F.lit(0).cast("long").alias("history_mu"),
+            )
         )
-    )
-    dims = _nodes(e, "s", "d").agg(
-        F.count(F.lit(1)).alias("n"), F.min("node_id").alias("m")
-    ).collect()[0]  # two scalars, once, outside the loop
-    if int(dims["n"] or 0) == 0:
-        # empty graph (e.g. a wave that extracted zero non-self links):
-        # nothing to score — return the empty result, not a crash
-        return cash.filter(F.col("node_id") != VIRTUAL_ID).limit(0)
-    n_nodes, min_id = int(dims["n"]), int(dims["m"])
-    if min_id <= VIRTUAL_ID:
-        raise ValueError(
-            f"node id {min_id} collides with or sorts below the virtual "
-            f"root id {VIRTUAL_ID}; remap node ids to >= {VIRTUAL_ID + 1} "
-            "(e.g. pmod a signed hash) before calling opic_scores"
+        dims = nodes.agg(
+            F.count(F.lit(1)).alias("n"), F.min("node_id").alias("m")
+        ).collect()[0]  # two scalars, once, outside the loop
+        if int(dims["n"] or 0) == 0:
+            # empty graph (e.g. a wave that extracted zero non-self
+            # links): nothing to score — return the empty result, not
+            # a crash
+            return cash.filter(F.col("node_id") != VIRTUAL_ID).limit(0)
+        n_nodes, min_id = int(dims["n"]), int(dims["m"])
+        if min_id <= VIRTUAL_ID:
+            raise ValueError(
+                f"node id {min_id} collides with or sorts below the "
+                f"virtual root id {VIRTUAL_ID}; remap node ids to >= "
+                f"{VIRTUAL_ID + 1} (e.g. pmod a signed hash) before "
+                "calling opic_scores"
+            )
+        # out-degrees are static across iterations: materialize once
+        # (eager checkpoint = one scan of the cached e, flat lineage)
+        deg = (
+            e.groupBy(F.col("s").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("d_real"))
+            .localCheckpoint(eager=True)
         )
-    for _ in range(iterations):
-        cash = _distribute(cash, e, "s", "d", n_nodes, min_id)
-        # keep lineage flat across fixed small iteration counts, same
-        # pattern as graph.pagerank
-        cash = cash.localCheckpoint(eager=False)
-    return (
-        cash.filter(F.col("node_id") != VIRTUAL_ID)
-        .select("node_id", "cash_mu", "history_mu")
-    )
+        for _ in range(iterations):
+            cash = _distribute(cash, e, "s", "d", n_nodes, min_id, deg=deg)
+            # keep lineage flat across fixed small iteration counts,
+            # same pattern as graph.pagerank
+            cash = cash.localCheckpoint(eager=False)
+        # materialize while e is cached; callers get a lineage-free
+        # result and the edge cache is released
+        return (
+            cash.filter(F.col("node_id") != VIRTUAL_ID)
+            .select("node_id", "cash_mu", "history_mu")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
 
 
 def opic_update(
@@ -347,6 +374,13 @@ def opic_host_lanes(
             "host_cash_mu", F.array(*[F.lit(q) for q in qs]), 10_000
         ).alias("c")
     ).collect()[0]["c"]
+    if cuts is None:
+        # empty cash table (wave 0, or an all-filtered wave): the
+        # percentile sketch returns null — no hosts, no lanes; mirror
+        # opic_scores' empty-graph contract instead of crashing
+        return per_host.select(
+            "host", F.lit(0).alias("priority"), "host_cash_mu"
+        ).limit(0)
     lane = F.lit(n_lanes - 1)
     for i in reversed(range(n_lanes - 1)):  # lowest cut first
         lane = F.when(F.col("host_cash_mu") >= int(cuts[i]), i).otherwise(lane)

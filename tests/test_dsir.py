@@ -131,3 +131,13 @@ def test_dsir_resample_excludes_null_weights_and_validates_k(spark):
     assert [r["doc_id"] for r in got] == [2]
     with pytest.raises(ValueError):
         dsir_resample(w, 0)
+
+
+def test_dsir_resample_quoted_salt(spark):
+    # column-API construction: a salt carrying a quote must not break
+    # plan building (the earlier f-string SQL raised ParseException)
+    w = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, weight double"
+    )
+    got = dsir_resample(w, 2, weight_col="weight", salt="wave's-seed")
+    assert len(got.collect()) == 2

@@ -219,3 +219,16 @@ def test_opic_host_lanes_priority_shape(spark):
     # a.si (1800) and b.si (500) land in lane 0, c.si in lane 1
     assert got == {"a.si": 0, "b.si": 0, "c.si": 1}
     assert lanes.columns[:2] == ["host", "priority"]  # priority_table shape
+
+
+def test_opic_host_lanes_empty_cash(spark):
+    # wave 0 / all-filtered wave: the percentile sketch returns null —
+    # lanes must come back empty, not crash on cuts[i]
+    empty = spark.createDataFrame(
+        [], "url string, cash_mu long, history_mu long"
+    )
+    lanes = opic_host_lanes(
+        empty, F.parse_url(F.col("url"), F.lit("HOST")), n_lanes=4
+    )
+    assert lanes.collect() == []
+    assert lanes.columns[:2] == ["host", "priority"]
