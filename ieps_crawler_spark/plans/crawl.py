@@ -260,155 +260,171 @@ class Crawler:
         # counts); both confs are runtime-settable.
         base_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         base_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
-        while True:
-            if max_waves is not None and wave >= max_waves:
-                break
-            if max_results is not None and fetched_total >= max_results:
-                break
-            if frontier_rows == 0:
-                break
-            state = {
-                "frontier": self.store.read(spark, wave, "frontier"),
-                # append-only sets: one recursive scan over the add-deltas
-                "seen": self.deltas.read_all(spark, "seen_add"),
-                "seen_hashes": self.deltas.read_all(spark, "hashes_add"),
-                "known_hosts": self.deltas.read_all(spark, "hosts_add"),
-            }
-            if frontier_rows is None and state["frontier"].isEmpty():
-                break
-            small = frontier_rows is not None and frontier_rows < 20_000
-            spark.conf.set(
-                "spark.sql.adaptive.enabled", "false" if small else base_aqe
-            )
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", "8" if small else base_parts
-            )
-            t0 = time.time()
-            bloom = None
-            if self.use_bloom:
-                if self._bloom is None:
-                    # one full build per run/resume; afterwards the filter
-                    # is maintained incrementally (merge of each wave's
-                    # adds) — rebuilding from the whole seen set per wave
-                    # would make bloom maintenance quadratic over a crawl
-                    self._bloom = self._build_filter(
-                        state["seen"]
-                    ).localCheckpoint(eager=True)
-                bloom = self._bloom
-            out = run_wave(
-                spark,
-                wave,
-                state["frontier"],
-                self.pages,
-                self.sites,
-                state["seen"],
-                state["seen_hashes"],
-                state["known_hosts"],
-                self.bodies,
-                self.wave_seconds,
-                bloom=bloom,
-                bloom_shards=self.bloom_shards if self.use_bloom else None,
-                delays=self.delays,
-                first_touch_template=self.first_touch,
-                broadcast_fetch=self.broadcast_fetch
-                and (frontier_rows is None or frontier_rows <= 5_000_000),
-                # skew-proof two-phase politeness top-k only pays off once
-                # a hot host could dominate a single sort task
-                politeness_salt_shards=(
-                    0 if small else self.politeness_salt_shards
-                ),
-                seed_hosts=self.seed_hosts,
-                # seen ≈ everything ever enqueued = fetched + still
-                # pending — close enough for the 20x broadcast heuristic
-                seen_rows_hint=(
-                    fetched_total + (frontier_rows or 0)
-                    if self.use_bloom
-                    else None
-                ),
-                priority_expr=self.priority_expr,
-                priority_table=self.priority_table,
-                max_urls=self.max_urls_per_wave,
-                prune_host_dims=self.prune_host_dims,
-                fetcher=self.fetcher,
-                frontier_gate=self.frontier_gate,
-            )
-            # deltas first; wave metrics ride the results write as observed
-            # aggregates — no extra job.
-            from pyspark.sql import Observation
+        try:
+            while True:
+                if max_waves is not None and wave >= max_waves:
+                    break
+                if max_results is not None and fetched_total >= max_results:
+                    break
+                if frontier_rows == 0:
+                    break
+                state = {
+                    "frontier": self.store.read(spark, wave, "frontier"),
+                    # append-only sets: one recursive scan over the add-deltas
+                    "seen": self.deltas.read_all(spark, "seen_add"),
+                    "seen_hashes": self.deltas.read_all(spark, "hashes_add"),
+                    "known_hosts": self.deltas.read_all(spark, "hosts_add"),
+                }
+                if frontier_rows is None and state["frontier"].isEmpty():
+                    break
+                small = frontier_rows is not None and frontier_rows < 20_000
+                spark.conf.set(
+                    "spark.sql.adaptive.enabled", "false" if small else base_aqe
+                )
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", "8" if small else base_parts
+                )
+                t0 = time.time()
+                bloom = None
+                if self.use_bloom:
+                    if self._bloom is None:
+                        # one full build per run/resume; afterwards the filter
+                        # is maintained incrementally (merge of each wave's
+                        # adds) — rebuilding from the whole seen set per wave
+                        # would make bloom maintenance quadratic over a crawl
+                        self._bloom = self._build_filter(
+                            state["seen"]
+                        ).localCheckpoint(eager=True)
+                    bloom = self._bloom
+                out = run_wave(
+                    spark,
+                    wave,
+                    state["frontier"],
+                    self.pages,
+                    self.sites,
+                    state["seen"],
+                    state["seen_hashes"],
+                    state["known_hosts"],
+                    self.bodies,
+                    self.wave_seconds,
+                    bloom=bloom,
+                    bloom_shards=self.bloom_shards if self.use_bloom else None,
+                    delays=self.delays,
+                    first_touch_template=self.first_touch,
+                    broadcast_fetch=self.broadcast_fetch
+                    and (frontier_rows is None or frontier_rows <= 5_000_000),
+                    # skew-proof two-phase politeness top-k only pays off once
+                    # a hot host could dominate a single sort task
+                    politeness_salt_shards=(
+                        0 if small else self.politeness_salt_shards
+                    ),
+                    seed_hosts=self.seed_hosts,
+                    # seen ≈ everything ever enqueued = fetched + still
+                    # pending — close enough for the 20x broadcast heuristic
+                    seen_rows_hint=(
+                        fetched_total + (frontier_rows or 0)
+                        if self.use_bloom
+                        else None
+                    ),
+                    priority_expr=self.priority_expr,
+                    priority_table=self.priority_table,
+                    max_urls=self.max_urls_per_wave,
+                    prune_host_dims=self.prune_host_dims,
+                    fetcher=self.fetcher,
+                    frontier_gate=self.frontier_gate,
+                )
+                # deltas first; wave metrics ride the results write as observed
+                # aggregates — no extra job.
+                from pyspark.sql import Observation
 
-            obs = Observation(f"wave_{wave}_metrics")
-            results_obs = out.results.observe(
-                obs,
-                F.count(F.lit(1)).alias("fetched"),
-                F.count(F.when(F.col("page_type") == "HTML", 1)).alias("html_pages"),
-                F.count(F.when(F.col("page_type") == "INVALID", 1)).alias("invalid"),
-                F.count(F.when(F.col("page_type") == "DISALLOWED", 1)).alias("disallowed"),
-                F.count(F.when(F.col("page_type") == "DUPLICATE", 1)).alias("duplicates"),
-                F.count(F.when(F.col("page_type") == "BINARY", 1)).alias("binary"),
-                F.approx_count_distinct("host").alias("hosts"),
-            )
-            # Write ordering = cache-dependency order (concurrent writes
-            # measured slower — interleaved jobs trash cache locality):
-            # results materializes the staged cache; links + hashes_add
-            # read it; seen_add materializes the cand/new_frontier caches;
-            # hosts_add + the frontier snapshot read only materialized
-            # caches. Adds always land before the frontier snapshot (the
-            # commit point) for crash consistency; each wave appends ONLY
-            # its additions.
-            self.deltas.append(wave, "crawl_results", results_obs)
-            # obs completes with the results write; gating the assets
-            # delta on the observed BINARY count skips a whole re-join
-            # against the corpus on waves that fetched no binary content
-            # (the asset branch reads the uncached html-bearing frame)
-            mvals = obs.get
-            self.deltas.append(wave, "links", out.links)
-            if out.assets is not None and mvals["binary"] > 0:
-                self.deltas.append(wave, "assets", out.assets)
-            t_deltas = time.time()
-            self.deltas.append(wave + 1, "seen_add", out.seen_add)
-            self.deltas.append(wave + 1, "hashes_add", out.hashes_add)
-            self.deltas.append(wave + 1, "hosts_add", out.hosts_add)
-            manifest = self.store.commit_wave(
-                wave + 1, {"frontier": out.pending_next}
-            )
-            frontier_rows = _lineage_rows(manifest, "frontier")
-            if self.use_bloom:
-                # fold this wave's additions into the filter (seen_add was
-                # just materialized by its delta write, so the build scans
-                # only new urls); eager checkpoint truncates lineage and
-                # survives the per-wave clearCache
-                self._bloom = self._merge_filters(
-                    self._bloom, self._build_filter(out.seen_add)
-                ).localCheckpoint(eager=True)
-            n_fetched = mvals["fetched"]
-            fetched_total += n_fetched
-            metrics = {
-                "wave": wave,
-                "hosts": mvals["hosts"],
-                "fetched": n_fetched,
-                "html_pages": mvals["html_pages"],
-                "invalid": mvals["invalid"],
-                "disallowed": mvals["disallowed"],
-                "duplicates": mvals["duplicates"],
-                "binary": mvals["binary"],
-                "elapsed_sec": round(time.time() - t0, 3),
-                "deltas_sec": round(t_deltas - t0, 3),
-                "snapshot_sec": round(time.time() - t_deltas, 3),
-            }
-            # one tiny row — written driver-side (pyarrow), no Spark job
-            self.deltas.append_local(wave, "metrics", [metrics])
-            # compaction only covers committed adds: snapshot wave+1 just
-            # landed, so adds <= wave+1 are final and safe to fold
-            if self.compact_every and (wave + 1) % self.compact_every == 0:
-                for t in ADD_TABLES:
-                    self.deltas.compact(spark, t, upto_wave=wave + 1)
-            stats.per_wave.append(metrics)
-            stats.waves += 1
-            stats.fetched = fetched_total
-            spark.catalog.clearCache()
-            wave += 1
-        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+                obs = Observation(f"wave_{wave}_metrics")
+                results_obs = out.results.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("fetched"),
+                    F.count(F.when(F.col("page_type") == "HTML", 1)).alias("html_pages"),
+                    F.count(F.when(F.col("page_type") == "INVALID", 1)).alias("invalid"),
+                    F.count(F.when(F.col("page_type") == "DISALLOWED", 1)).alias("disallowed"),
+                    F.count(F.when(F.col("page_type") == "DUPLICATE", 1)).alias("duplicates"),
+                    F.count(F.when(F.col("page_type") == "BINARY", 1)).alias("binary"),
+                    F.approx_count_distinct("host").alias("hosts"),
+                )
+                # Write ordering = cache-dependency order (concurrent writes
+                # measured slower — interleaved jobs trash cache locality):
+                # results materializes the staged cache; links + hashes_add
+                # read it; seen_add materializes the cand/new_frontier caches;
+                # hosts_add + the frontier snapshot read only materialized
+                # caches. Adds always land before the frontier snapshot (the
+                # commit point) for crash consistency; each wave appends ONLY
+                # its additions.
+                self.deltas.append(wave, "crawl_results", results_obs)
+                # obs completes with the results write; gating the assets
+                # delta on the observed BINARY count skips a whole re-join
+                # against the corpus on waves that fetched no binary content
+                # (the asset branch reads the uncached html-bearing frame)
+                mvals = obs.get
+                self.deltas.append(wave, "links", out.links)
+                # two-stage gate: the free observed global-binary count,
+                # then (binary waves only) an html-free probe of the cached
+                # staged frame for SEED-host binaries — the assets write
+                # re-runs the corpus fetch join, which must not be paid to
+                # discover all of a wave's binaries were off-seed
+                if (
+                    out.assets is not None
+                    and mvals["binary"] > 0
+                    and out.assets_probe is not None
+                    and not out.assets_probe.isEmpty()
+                ):
+                    self.deltas.append(wave, "assets", out.assets)
+                t_deltas = time.time()
+                self.deltas.append(wave + 1, "seen_add", out.seen_add)
+                self.deltas.append(wave + 1, "hashes_add", out.hashes_add)
+                self.deltas.append(wave + 1, "hosts_add", out.hosts_add)
+                manifest = self.store.commit_wave(
+                    wave + 1, {"frontier": out.pending_next}
+                )
+                frontier_rows = _lineage_rows(manifest, "frontier")
+                if self.use_bloom:
+                    # fold this wave's additions into the filter (seen_add was
+                    # just materialized by its delta write, so the build scans
+                    # only new urls); eager checkpoint truncates lineage and
+                    # survives the per-wave clearCache
+                    self._bloom = self._merge_filters(
+                        self._bloom, self._build_filter(out.seen_add)
+                    ).localCheckpoint(eager=True)
+                n_fetched = mvals["fetched"]
+                fetched_total += n_fetched
+                metrics = {
+                    "wave": wave,
+                    "hosts": mvals["hosts"],
+                    "fetched": n_fetched,
+                    "html_pages": mvals["html_pages"],
+                    "invalid": mvals["invalid"],
+                    "disallowed": mvals["disallowed"],
+                    "duplicates": mvals["duplicates"],
+                    "binary": mvals["binary"],
+                    "elapsed_sec": round(time.time() - t0, 3),
+                    "deltas_sec": round(t_deltas - t0, 3),
+                    "snapshot_sec": round(time.time() - t_deltas, 3),
+                }
+                # one tiny row — written driver-side (pyarrow), no Spark job
+                self.deltas.append_local(wave, "metrics", [metrics])
+                # compaction only covers committed adds: snapshot wave+1 just
+                # landed, so adds <= wave+1 are final and safe to fold
+                if self.compact_every and (wave + 1) % self.compact_every == 0:
+                    for t in ADD_TABLES:
+                        self.deltas.compact(spark, t, upto_wave=wave + 1)
+                stats.per_wave.append(metrics)
+                stats.waves += 1
+                stats.fetched = fetched_total
+                spark.catalog.clearCache()
+                wave += 1
+        finally:
+            # restore even when a wave raises: the small-wave gear
+            # (AQE off, 8 partitions) must never leak into the
+            # session — a retried run() would re-capture the
+            # degraded values as its baseline and "restore" them
+            spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         return stats
 
     # ------------------------------------------------------- filter strategy

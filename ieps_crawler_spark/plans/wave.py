@@ -55,6 +55,11 @@ class WaveOutput:
     hashes_add: DataFrame  # content hashes newly stored (HTML originals)
     hosts_add: DataFrame  # hosts first touched this wave
     assets: DataFrame | None = None  # seed-host binary/image payloads
+    # html-free twin of the assets filter over the CACHED staged frame:
+    # probing it costs a cache scan, never the corpus re-join — the
+    # crawl loop uses it to skip the assets write when a wave's binary
+    # fetches all landed on non-seed hosts
+    assets_probe: DataFrame | None = None
 
 
 ASSETS_SCHEMA = (
@@ -185,9 +190,11 @@ def inject_first_touch(
         template = build_first_touch_template(sites, sitemap_bodies)
     if prune_host_dims:
         # one scan of each dim per wave, pruned to the wave's new hosts
-        # before anything is joined back — no total-hosts-sized broadcast
-        template_w = template.join(new_hosts, "host", "left_semi")
-        templated = new_hosts.join(template_w, "host", "inner")
+        # before anything is joined back — no total-hosts-sized
+        # broadcast. The semi-join IS the prune-and-match in one step
+        # (new_hosts carries only the host column, so joining it back
+        # inner would add a stage and change nothing).
+        templated = template.join(new_hosts, "host", "left_semi")
         known_site_hosts = sites.select("host").join(
             new_hosts, "host", "left_semi"
         )
@@ -294,9 +301,14 @@ def run_wave(
         if broadcast_fetch:
             batch.cache()  # consumed by the fetch join, miss anti-join, union
             hits = corpus.join(F.broadcast(batch), "canon_url", "inner")
-            hits.cache()  # consumed by the miss anti-join and the union
+            # cache the KEYS only: caching `hits` itself would columnar-
+            # encode every fetched page's html — the module's never-
+            # cache-html trap (measured 5-10x the join's cost). The
+            # union side re-derives hits lazily like the shuffled path.
+            hit_keys = hits.select("canon_url")
+            hit_keys.cache()
             miss = batch.join(
-                F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
+                F.broadcast(hit_keys), "canon_url", "left_anti"
             )
             fetched = hits.unionByName(
                 miss.withColumn("html", F.lit(None).cast("binary"))
@@ -456,6 +468,22 @@ def run_wave(
     # per-wave clearCache())
     staged.cache()
 
+    # html-free twin of the assets filter (content_hash is non-null
+    # exactly when allowed & html was present): lets the crawl loop
+    # test "did any binary land on a SEED host" against the cache
+    # instead of paying the corpus re-join to find out it was empty
+    assets_probe = None
+    if seed_hosts is not None:
+        assets_probe = (
+            staged.filter(
+                F.col("allowed")
+                & (F.col("data_type") != 0)
+                & F.col("content_hash").isNotNull()
+            )
+            .join(F.broadcast(seed_hosts.select("host")), "host", "left_semi")
+            .select("canon_url")
+        )
+
     results = staged.select(
         F.col("canon_url").alias("url"),
         "host",
@@ -608,5 +636,6 @@ def run_wave(
     seen_add = new_frontier.select("canon_url")
     hashes_add = extracted.select("content_hash").distinct()
     return WaveOutput(
-        results, links, pending_next, seen_add, hashes_add, new_hosts, assets
+        results, links, pending_next, seen_add, hashes_add, new_hosts,
+        assets, assets_probe,
     )
