@@ -4,10 +4,13 @@ over its `link` table (report/report.tex:228-232); here they are
 DataFrame-iterative jobs over the engine's `links` edges.
 
 Scale posture: each iteration is one shuffle (join on the edge key +
-groupBy on the destination); lineage is truncated per iteration via
-localCheckpoint-free re-aliasing since iteration counts are small and
-fixed. For web-scale graphs swap the driver loop for GraphFrames'
-pregel; the per-iteration plan is identical.
+groupBy on the destination). Iterative operators whose round count is
+data-dependent (connected_components, bfs_distances) eagerly
+localCheckpoint every round — Catalyst analysis otherwise dominates
+wall time past ~8 rounds (see connected_components' docstring);
+fixed-small-iteration operators (pagerank, hits) tolerate the plan
+growth of their bounded loops. For web-scale graphs swap the driver
+loop for GraphFrames' pregel; the per-iteration plan is identical.
 """
 
 from __future__ import annotations
@@ -405,7 +408,9 @@ def bfs_distances(
     """Single-source BFS over a symmetric (a, b) edge frame. Returns
     (node_id, dist) for every node reachable from ``source`` within
     ``max_depth`` hops. Frontier-based: each round is one join (frontier
-    onto edges) + one anti-join (drop visited) + one min-aggregate —
+    onto edges) + a distinct + an anti-join against the visited set
+    (first touch wins, so the round index IS the distance — no
+    min-aggregate needed) —
     O(diameter) rounds, each lineage-truncated via eager localCheckpoint
     exactly like connected_components; the only driver-side value per
     round is the frontier row count (an Observation on the checkpoint's
@@ -454,10 +459,17 @@ def approx_diameter(
     component, for a crawl's link graph rooted at the seeds).
 
     One row: (start_node, ecc_start, far_node, diameter_lb, n_reached)
-    — all exact integers. The only driver-side reads are two 1-row
-    collects (the sweep pivots) and the per-round frontier counts; all
-    distance work is distributed (see bfs_distances).
+    — all exact integers; node-id columns keep the input's id type
+    (long OR string, like every other operator in this module). An edge
+    frame with no non-self-loop edge has no path of length > 0: the
+    result is ZERO rows (same schema), never a crash.
+
+    The only driver-side reads are two 1-row collects (the sweep
+    pivots) and the per-round frontier counts; all distance work is
+    distributed (see bfs_distances).
     """
+    from pyspark.sql import types as T
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -465,7 +477,25 @@ def approx_diameter(
         .distinct()
         .localCheckpoint(eager=True)  # two sweeps reuse the materialized edges
     )
+    id_type = sym.schema["a"].dataType
+    pivot_schema = T.StructType(
+        [
+            T.StructField("start_node", id_type),
+            T.StructField("ecc_start", T.LongType()),
+            T.StructField("far_node", id_type),
+        ]
+    )
+    spark = edges.sparkSession
     start = sym.agg(F.min("a").alias("m")).collect()[0]["m"]
+    if start is None:  # empty or self-loop-only graph: no sweep to run
+        empty = spark.createDataFrame([], pivot_schema)
+        return empty.select(
+            "start_node",
+            "ecc_start",
+            "far_node",
+            F.lit(None).cast("long").alias("diameter_lb"),
+            F.lit(None).cast("long").alias("n_reached"),
+        )
     d1 = bfs_distances(sym, start, max_depth)
     far = (
         d1.orderBy(F.col("dist").desc(), F.col("node_id").asc())
@@ -477,10 +507,8 @@ def approx_diameter(
         F.max("dist").alias("diameter_lb"),
         F.count(F.lit(1)).alias("n_reached"),
     )
-    spark = edges.sparkSession
     pivot = spark.createDataFrame(
-        [(int(start), int(far["dist"]), int(far["node_id"]))],
-        "start_node long, ecc_start long, far_node long",
+        [(start, int(far["dist"]), far["node_id"])], pivot_schema
     )
     return pivot.crossJoin(agg2).select(
         "start_node",

@@ -19,9 +19,10 @@ HLL register rows from operators/stats.py ((node_id, bucket, register),
 md5-keyed, OR/merge = per-bucket max) — no floats anywhere in the
 distributed path; per-(node, r) outputs are the exact-integer
 ``harm_num`` / ``n_zero_buckets`` plus the floor-divided ``ball_est``,
-all hash-stable and replayed verbatim by the DuckDB oracle. Harmonic
-centrality is emitted in floor-divided permille so every term is an
-exact bigint.
+all hash-stable and replayed verbatim by the DuckDB oracle. The
+derived ``ball_lc`` column and ``harmonic_centrality`` are FLOATS
+(the ln small-range correction) — per repo convention they stay OUT
+of hash-gated oracles; the integer columns are the exact contract.
 
 Scale posture: one join (sketch rows onto edges by destination) + one
 groupBy-max merge per round — register-row cardinality per node is
@@ -40,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .stats import hll_estimate, hll_merge, hll_registers
+from .stats import (
+    HLL_SMALL_RANGE_FACTOR,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 
 
 def hyperball(
@@ -86,7 +92,8 @@ def hyperball(
     def snap(s: DataFrame, r: int) -> DataFrame:
         est = hll_estimate(s, ["node_id"], **est_kw)
         # standard HLL small-range correction (linear counting when the
-        # raw estimate <= 2.5m and empty buckets remain) — typical
+        # raw estimate <= HLL_SMALL_RANGE_FACTOR*m and empty buckets
+        # remain — same crossover as stats.hll_corrected) — typical
         # crawl-graph balls at small r ARE small, and the raw estimate
         # is zero-bucket-dominated there (every 1-element sketch reads
         # ~0.72m). ball_lc is a FLOAT (ln), so per repo convention it
@@ -102,7 +109,8 @@ def hyperball(
             "n_zero_buckets",
             F.col("hll_est").alias("ball_est"),
             F.when(
-                (F.col("hll_est") <= 2.5 * m) & (F.col("n_zero_buckets") > 0),
+                (F.col("hll_est") <= HLL_SMALL_RANGE_FACTOR * m)
+                & (F.col("n_zero_buckets") > 0),
                 lc,
             )
             .otherwise(F.col("hll_est").cast("double"))
@@ -142,10 +150,15 @@ def neighborhood_function(hb: DataFrame) -> DataFrame:
 
 def effective_diameter(hb: DataFrame, q: float = 0.9) -> tuple[int, bool]:
     """Smallest r with N(r) >= q·N(radius) from a ``hyperball`` result,
-    plus whether the curve had SATURATED (N(radius) grew < 1e-9
-    relative over the last round) — if it hadn't, the configured radius
-    was too small and the value is only a lower bound. Driver-side on
-    radius+1 rows (bounded)."""
+    plus whether the curve had SATURATED over the last round — if it
+    hadn't, the configured radius was too small and the value is only a
+    lower bound. Saturation is judged on the PER-NODE POSITIVE growth
+    Σ_v max(ball_lc(v, R) − ball_lc(v, R−1), 0), not the raw aggregate
+    delta: the lc→raw correction-branch switch can dip individual
+    estimates by a fraction, and on a still-expanding curve those dips
+    could cancel real growth in the aggregate and fake convergence
+    (the same clamp harmonic_centrality applies). Driver-side on
+    radius+1 rows plus one bounded clamped-growth aggregate."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     rows = sorted(
@@ -155,10 +168,26 @@ def effective_diameter(hb: DataFrame, q: float = 0.9) -> tuple[int, bool]:
         raise ValueError("empty hyperball result")
     target = q * rows[-1]["n_reach_est"]
     eff = next(r["r"] for r in rows if r["n_reach_est"] >= target)
-    saturated = len(rows) >= 2 and (
-        rows[-1]["n_reach_est"] - rows[-2]["n_reach_est"]
-        < 1e-9 * max(rows[-1]["n_reach_est"], 1.0)
-    )
+    saturated = False
+    if len(rows) >= 2:
+        r_max = rows[-1]["r"]
+        w = Window.partitionBy("node_id").orderBy("r")
+        growth = (
+            hb.filter(F.col("r") >= r_max - 1)
+            .withColumn("_prev", F.lag("ball_lc").over(w))
+            .filter(F.col("r") == r_max)
+            .agg(
+                F.sum(
+                    F.greatest(
+                        F.col("ball_lc") - F.col("_prev"), F.lit(0.0)
+                    )
+                ).alias("g")
+            )
+            .collect()[0]["g"]
+        )
+        saturated = (growth or 0.0) < 1e-9 * max(
+            rows[-1]["n_reach_est"], 1.0
+        )
     return int(eff), bool(saturated)
 
 

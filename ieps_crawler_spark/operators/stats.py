@@ -160,16 +160,22 @@ def hll_estimate(
     )
 
 
+# Linear counting kicks in below this multiple of m (HLL fig 3). Shared
+# with hyperball's Column-level correction so the crossover can never
+# drift between the scalar and distributed formulations.
+HLL_SMALL_RANGE_FACTOR = 2.5
+
+
 def hll_corrected(harm_num: int, n_zero: int, bucket_hex: int = 3,
                   rank_hex: int = 12) -> float:
     """Driver-side small-range correction (LogLog §4 / HLL fig 3):
-    linear counting when the raw estimate ≤ 2.5m and zero buckets
-    remain. Python-side on the tiny estimate rows — floats never enter
-    the distributed/hashed path."""
+    linear counting when the raw estimate ≤ HLL_SMALL_RANGE_FACTOR·m
+    and zero buckets remain. Python-side on the tiny estimate rows —
+    floats never enter the distributed/hashed path."""
     m = 16**bucket_hex
     w = rank_hex * 4
     raw = _alpha(m) * m * m * float(1 << (w + 1)) / harm_num
-    if raw <= 2.5 * m and n_zero > 0:
+    if raw <= HLL_SMALL_RANGE_FACTOR * m and n_zero > 0:
         return m * math.log(m / n_zero)
     return raw
 

@@ -109,6 +109,33 @@ def test_approx_diameter_covers_start_component_only(spark):
     assert row["diameter_lb"] == 1
 
 
+def test_approx_diameter_selfloop_only_returns_empty(spark):
+    # no non-self-loop edge -> no path of length > 0: zero rows with
+    # the full schema, never an IndexError
+    out = approx_diameter(_edges(spark, [(1, 1), (2, 2)]))
+    assert out.count() == 0
+    assert out.columns == [
+        "start_node", "ecc_start", "far_node", "diameter_lb", "n_reached",
+    ]
+    empty = approx_diameter(
+        spark.createDataFrame([], "from_id long, to_id long")
+    )
+    assert empty.count() == 0
+
+
+def test_approx_diameter_string_ids(spark):
+    # id-type-agnostic like the module's other operators: string URLs
+    # flow through the sweep pivots without an int() cast
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "from_id string, to_id string"
+    )
+    row = approx_diameter(path).collect()[0]
+    assert row["start_node"] == "a"
+    assert row["far_node"] == "d"
+    assert row["diameter_lb"] == 3
+    assert row["n_reached"] == 4
+
+
 def test_hits_rejects_zero_iterations(spark, tri_tail):
     with pytest.raises(ValueError):
         hits(tri_tail, iterations=0)
