@@ -896,6 +896,26 @@ def q_dedup_cluster_canonical(spark, sf_dir):
     return neardup_clusters(emb, pairs, "vec_id")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): fixed-codebook clustering (the
+    IVF centroid rows), within-cluster cosine >= 0.35 near-dup groups,
+    keep the member farthest from its centroid. Pure DataFrame plan
+    (broadcast codebook + min-struct argmax + one per-cluster self-join
+    + pointer-jumped components) replayed exactly by the oracle."""
+    from ieps_crawler_spark.operators.dedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, _IVF_CENTROID_IDS, threshold=0.35
+    ).select(
+        "vec_id",
+        "list_id",
+        "group_id",
+        F.round("cos_centroid", 4).alias("cos_centroid"),
+        "is_kept",
+    )
+
+
 def q_dedup_lines(spark, sf_dir):
     """Cross-document line-level dedup (the CCNet/RefinedWeb boilerplate
     pass): documents are chunked into 3-word lines JVM-side (the
@@ -2055,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_wet_roundtrip": q_source_wet_roundtrip,
         "crawl_param_noise": q_crawl_param_noise,
         "crawl_strip_params": q_crawl_strip_params,
+        "dedup_semantic": q_dedup_semantic,
         "crawl_canonicalize": q_crawl_canonicalize,
         "crawl_host_extract": q_crawl_host_extract,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -2635,6 +2656,64 @@ def _ivf_oracle_sql(n_probe: int = 3, k: int = 10) -> str:
                    round(cos, 4) AS cosine
             FROM scored
             QUALIFY rank <= {k}
+        """
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """DuckDB replay of q_dedup_semantic: the IVF fixed-codebook
+    assignment (argmax dot(v, c)/|c|, lowest-j ties — identical to
+    _ivf_oracle_sql), within-cluster cosine >= threshold pairs,
+    recursive min-label components (the dedup_cluster_canonical
+    pattern), keep = lowest cos_centroid per group (ties min id)."""
+    cmap_rows = ", ".join(
+        f"({cid}, {j})" for j, cid in enumerate(_IVF_CENTROID_IDS)
+    )
+    return f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            cmap(cid, j) AS (VALUES {cmap_rows}),
+            cents AS (SELECT j, v AS cv FROM e JOIN cmap ON vec_id = cid),
+            ax AS (
+              SELECT e.vec_id, e.v, c.j,
+                     -(list_dot_product(e.v, c.cv)
+                       / sqrt(list_dot_product(c.cv, c.cv))) AS ns,
+                     list_dot_product(e.v, c.cv)
+                     / nullif(sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv)), 0) AS cos
+              FROM e CROSS JOIN cents c),
+            assigned AS (
+              SELECT vec_id, v, j AS list_id, cos AS cos_centroid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY ns, j) AS rn
+                FROM ax) WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a JOIN assigned b
+                ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / nullif(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)), 0)
+                    >= {threshold}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS node, a AS comp FROM edges
+              UNION
+              SELECT e2.a, r.comp FROM edges e2 JOIN reach r ON e2.b = r.node),
+            comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+            lab AS (
+              SELECT s.vec_id, s.list_id, s.cos_centroid,
+                     coalesce(c.comp, s.vec_id) AS group_id
+              FROM assigned s LEFT JOIN comp c ON s.vec_id = c.node)
+            SELECT vec_id, CAST(list_id AS INTEGER) AS list_id, group_id,
+                   round(cos_centroid, 4) AS cos_centroid,
+                   (row_number() OVER (PARTITION BY group_id
+                                       ORDER BY cos_centroid ASC, vec_id ASC)
+                    = 1) AS is_kept
+            FROM lab
         """
 
 
@@ -3675,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh_topk": _lsh_oracle_sql(),
         "similarity_ivf_topk": _ivf_oracle_sql(),
+        "dedup_semantic": _semdedup_oracle_sql(),
         # resize stub: content = (sha256(payload+“WxH”) digest tiled to
         # width*height bytes); 16x16 → 256 bytes → 512 hex chars, digest
         # repeats ceil(256/32)+1 = 9 times before truncation

@@ -548,6 +548,84 @@ def neardup_clusters(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster embeddings with a coarse
+    codebook, find near-dup pairs ONLY within each cluster, and keep
+    one representative per near-dup group — the paper's keep rule:
+    the member with the LOWEST cosine to its cluster centroid (drop the
+    prototypical copies, keep the outlier), ties → min id.
+
+    ``centroids``: a small (j int, cv array<double>) codebook DataFrame,
+    or a list of ``emb`` ids to use as a fixed codebook
+    (similarity.codebook_from_ids — deterministic and SQL-expressible,
+    how the DuckDB oracle replays this). A k-means fit can be plugged in
+    as the codebook frame without touching this function.
+
+    Returns (vec_id, list_id, group_id, cos_centroid, is_kept), one row
+    per input vector: the cluster (codebook list), the near-dup group
+    (connected component of the within-cluster ≥ threshold pair graph;
+    singletons group with themselves), the cosine to the assigned
+    centroid, and the keep/drop decision.
+
+    Scale posture — the SemDeDup tractability argument, unchanged:
+    assignment is one broadcast-codebook join folded by a map-side
+    min-struct aggregate (similarity.assign_to_codebook); the quadratic
+    pair cost is confined within clusters (Σ|c|² ≪ n² — the codebook
+    size is the dial, the paper runs k = 50k on LAION), via ONE
+    self-join on list_id; groups come from the pointer-jumped
+    connected-components operator, and the canonical pick is a
+    struct-min groupBy aggregate — no window over members, hub-safe for
+    the giant boilerplate cluster case. Pairs never cross clusters by
+    construction, so components stay cluster-local with no extra key.
+    """
+    from .similarity import _cosine, assign_to_codebook, codebook_from_ids
+
+    if isinstance(centroids, (list, tuple)):
+        centroids = codebook_from_ids(emb, list(centroids), id_col, vec_col)
+    assigned = assign_to_codebook(emb, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("list_id"),
+        F.col("cvec").alias("va"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("list_id"),
+        F.col("cvec").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine("va", "vb") >= threshold)
+        .select("id_a", "id_b")
+    )
+    entities = assigned.select(
+        "vec_id", "list_id", "cos_centroid",
+        (-F.col("cos_centroid")).alias("_neg_cos"),
+    )
+    groups = neardup_clusters(
+        entities, pairs, "vec_id", prefer_col="_neg_cos",
+        max_iterations=max_iterations,
+    )
+    return (
+        entities.join(groups, "vec_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("cluster_id").alias("group_id"),
+            "cos_centroid",
+            F.col("is_canonical").alias("is_kept"),
+        )
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 

@@ -251,6 +251,66 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def codebook_from_ids(
+    df: DataFrame,
+    ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed codebook (j, cv) whose entries are the ``df`` rows with the
+    given ids, list index = position in ``ids``. Deterministic and
+    exactly SQL-expressible (a VALUES join), which is how the IVF and
+    semantic-dedup DuckDB oracles replay it."""
+    cmap = df.sparkSession.createDataFrame(
+        [(int(i), j) for j, i in enumerate(ids)], "cid long, j int"
+    )
+    return (
+        df.join(F.broadcast(cmap), F.col(id_col) == F.col("cid"))
+        .select("j", F.col(vec_col).alias("cv"))
+    )
+
+
+def assign_to_codebook(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest codebook entry of the SMALL
+    ``cents(j int, cv array<double>)`` frame. Assignment score is
+    dot(v, c)/|c| (the row norm cancels in the argmax); ties break to
+    the lowest list index — mirrored exactly by the DuckDB oracles'
+    ORDER BY ns, j. Returns (vec_id, list_id, cos_centroid, cvec):
+    the winning list, the FULL cosine to its centroid (the keep-rule
+    signal semantic_dedup needs), and the carried vector.
+
+    Scale posture: one broadcast cross-join against the codebook folded
+    back to one row per vector by a min-struct aggregate with map-side
+    combine — no window, nothing driver-side. Shared by ivf_topk's
+    inverted-list build and dedup.semantic_dedup's clustering."""
+    # negated similarity: min(struct(ns, j, …)) = argmax sim, lowest-j ties;
+    # j is unique so comparison never reaches the carried fields
+    ns = -(
+        F.expr(_DOT.format(a="cvec", b="cv"))
+        / F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    )
+    c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    ax = c.join(F.broadcast(cents)).select(
+        "vec_id", "cvec", "j", ns.alias("ns"),
+        _cosine("cvec", "cv").alias("cos"),
+    )
+    return (
+        ax.groupBy("vec_id")
+        .agg(F.min(F.struct("ns", "j", "cos", "cvec")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.j").alias("list_id"),
+            F.col("s.cos").alias("cos_centroid"),
+            F.col("s.cvec").alias("cvec"),
+        )
+    )
+
+
 def _ivf_with_cents(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,26 +323,11 @@ def _ivf_with_cents(
 ) -> DataFrame:
     """IVF over a given small codebook DataFrame ``cents(j, cv)`` —
     used by both the fixed-codebook mode (centroids = corpus rows) and
-    the k-means fit. Assignment score is dot(v, c)/|c| (the row norm
-    cancels in the argmax); ties break to the lowest list index, mirrored
-    exactly by the DuckDB oracle's ORDER BY ns, j. The argmax is a
-    min-struct aggregate — map-side combine collapses the broadcast
-    cross-join back to one row per vector before the shuffle — and no
-    stage materializes anything driver-side."""
-    # negated similarity: min(struct(ns, j, …)) = argmax sim, lowest-j ties;
-    # j is unique so comparison never reaches the carried vector field
-    ns = -(
-        F.expr(_DOT.format(a="cvec", b="cv"))
-        / F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
-    )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-    ax = c.join(F.broadcast(cents)).select(
-        "vec_id", "cvec", "j", ns.alias("ns")
-    )
-    assigned = (
-        ax.groupBy("vec_id")
-        .agg(F.min(F.struct("ns", "j", "cvec")).alias("s"))
-        .select("vec_id", F.col("s.j").alias("list_id"), F.col("s.cvec").alias("cvec"))
+    the k-means fit. Assignment = assign_to_codebook (argmax
+    dot(v, c)/|c|, lowest-j ties); no stage materializes anything
+    driver-side."""
+    assigned = assign_to_codebook(corpus, cents, id_col, vec_col).select(
+        "vec_id", "list_id", "cvec"
     )
     q0 = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -342,13 +387,7 @@ def ivf_topk(
     join + min-struct argmax, zero driver materialization) and exactly
     SQL-expressible, which is how the DuckDB oracle verifies it."""
     if centroid_ids is not None:
-        cmap = corpus.sparkSession.createDataFrame(
-            [(int(i), j) for j, i in enumerate(centroid_ids)], "cid long, j int"
-        )
-        cents = (
-            corpus.join(F.broadcast(cmap), F.col(id_col) == F.col("cid"))
-            .select("j", F.col(vec_col).alias("cv"))
-        )
+        cents = codebook_from_ids(corpus, centroid_ids, id_col, vec_col)
         return _ivf_with_cents(
             corpus, queries, cents, k, n_probe, id_col, vec_col, query_id_col
         )
