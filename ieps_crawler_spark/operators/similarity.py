@@ -289,25 +289,34 @@ def assign_to_codebook(
     combine — no window, nothing driver-side. Shared by ivf_topk's
     inverted-list build and dedup.semantic_dedup's clustering."""
     # negated similarity: min(struct(ns, j, …)) = argmax sim, lowest-j ties;
-    # j is unique so comparison never reaches the carried fields
+    # j is unique so comparison never reaches the carried vector field.
+    # The per-pair work stays at the two O(d) folds of the raw score —
+    # the full cosine is computed only for the WINNING centroid, via a
+    # second (tiny) broadcast join back to the codebook, not per pair.
     ns = -(
         F.expr(_DOT.format(a="cvec", b="cv"))
         / F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
     )
     c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
     ax = c.join(F.broadcast(cents)).select(
-        "vec_id", "cvec", "j", ns.alias("ns"),
-        _cosine("cvec", "cv").alias("cos"),
+        "vec_id", "cvec", "j", ns.alias("ns")
     )
-    return (
+    win = (
         ax.groupBy("vec_id")
-        .agg(F.min(F.struct("ns", "j", "cos", "cvec")).alias("s"))
+        .agg(F.min(F.struct("ns", "j", "cvec")).alias("s"))
         .select(
             "vec_id",
             F.col("s.j").alias("list_id"),
-            F.col("s.cos").alias("cos_centroid"),
             F.col("s.cvec").alias("cvec"),
         )
+    )
+    return win.join(
+        F.broadcast(cents), win["list_id"] == cents["j"]
+    ).select(
+        "vec_id",
+        "list_id",
+        _cosine("cvec", "cv").alias("cos_centroid"),
+        "cvec",
     )
 
 
