@@ -99,6 +99,19 @@ def test_codebook_dataframe_form(emb, spark, result):
     }
 
 
+def test_all_singletons_empty_pair_graph(emb):
+    # threshold above every within-cluster cosine -> zero pairs; the
+    # components path must handle an empty edge frame and every vector
+    # survives as its own group
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, [0, 10], threshold=1.000001).collect()
+    }
+    assert len(rows) == len(VECS)
+    assert all(r["group_id"] == i for i, r in rows.items())
+    assert all(r["is_kept"] for r in rows.values())
+
+
 def test_plan_is_jvm_only(emb):
     # the only nested-loop shape is the broadcast cross against the
     # BOUNDED codebook (the same allowlisted shape as ivf_topk's
