@@ -1680,6 +1680,92 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_toy_edges(spark, sf_dir))
 
 
+def q_graph_trustrank(spark, sf_dir):
+    """TrustRank (Gyongyi et al., VLDB 2004) over the toy link graph —
+    PageRank biased to a trusted seed set (node_id % 50 == 0), the
+    web-spam demotion signal a curation pass runs where the reference
+    ran plain PageRank in Gephi (report/report.tex:228-232). Mass only
+    enters at trusted nodes, so spam islands unreachable from the trust
+    set converge to exactly 0. Oracle = 3 unrolled iterations of the
+    identical recurrence (pagerank-oracle pattern)."""
+    from ieps_crawler_spark.operators.graph import trustrank
+
+    edges = _toy_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("from_id").alias("node_id"))
+        .unionByName(edges.select(F.col("to_id").alias("node_id")))
+        .distinct()
+    )
+    trusted = nodes.filter(F.pmod(F.col("node_id"), F.lit(50)) == 0)
+    return trustrank(edges, trusted, iterations=3).select(
+        "node_id", F.round("trustrank", 6).alias("trustrank")
+    )
+
+
+def q_graph_domain_collapse(spark, sf_dir):
+    """Registrable-domain (PLD) web-graph collapse — the aggregation
+    Common Crawl publishes as its domain-level graph, over synthetic
+    host-to-host edges built from the documents table with the same
+    PSL-rule-covering host patterns as crawl_pld_extract (second-level
+    registries, unknown TLDs, bare suffixes, IPv4 literals). Edge
+    payload: total collapsed links + distinct supporting source hosts
+    (the link-farm discriminator). One hash aggregate after pure
+    codegen PLD extraction; oracle replays the PSL longest-match per
+    side then the same GROUP BY."""
+    from ieps_crawler_spark.operators.graph import domain_graph
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def host_of(idcol):
+        s = idcol.cast("string")
+        return (
+            F.when(F.pmod(idcol, F.lit(7)) == 0,
+                   F.concat(F.lit("www.site"), s, F.lit(".gov.si")))
+            .when(F.pmod(idcol, F.lit(7)) == 1,
+                  F.concat(F.lit("sub.Blog"), s, F.lit(".co.uk")))
+            .when(F.pmod(idcol, F.lit(7)) == 2,
+                  F.concat(F.lit("a.b.node"), s, F.lit(".ac.jp")))
+            .when(F.pmod(idcol, F.lit(7)) == 3,
+                  F.concat(F.lit("site"), s, F.lit(".com")))
+            .when(F.pmod(idcol, F.lit(7)) == 4,
+                  F.concat(F.lit("host"), s, F.lit(".weird")))
+            .when(F.pmod(idcol, F.lit(7)) == 5,
+                  F.concat(F.lit("93.184."),
+                           F.pmod(idcol, F.lit(250)).cast("string"),
+                           F.lit(".34")))
+            .otherwise(F.lit("gov.si"))
+        )
+
+    d = F.col("doc_id")
+    edges = docs.select(
+        host_of(d).alias("src_host"),
+        host_of(F.pmod(d * 31 + 7, F.lit(997))).alias("dst_host"),
+    )
+    return domain_graph(edges)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization pass (operators/normalize.py): NFC via ONE
+    Arrow-vectorized stage + JVM control-strip / whitespace-fold / trim
+    — the cleanup every CC-derived corpus runs before dedup (the
+    reference stores text raw, DBCrud.scala page inserts). Input is the
+    documents text wrapped with denormalized material — a combining
+    acute (NFC-composes to é), a BEL control, tab runs, padded
+    newline — so every pipeline step fires on every row. Oracle =
+    DuckDB nfc_normalize + the byte-identical regex chain
+    (normalize.duck_normalize_sql)."""
+    from ieps_crawler_spark.operators.normalize import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Cafe\u0301 \tx\x07 \n "),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("  tail  "),
+    )
+    df = docs.select("doc_id", raw.alias("text"))
+    return normalize_text(df).select("doc_id", "norm_text")
+
+
 def q_graph_clustering(spark, sf_dir):
     """Report-§4 local clustering coefficient per node (Gephi's avg
     clustering coefficient row) — degree-ordered triangle enumeration,
@@ -2032,6 +2118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query not yet driver-green (r2's unchecked tail, the fixed
         # anchor-stats oracle, round-3 additions) plus a refill of core
         # ops; the remainder were all driver-green in earlier rounds.
+        "graph_trustrank": q_graph_trustrank,
+        "graph_domain_collapse": q_graph_domain_collapse,
+        "text_normalize": q_text_normalize,
         "text_unigram_stats": q_text_unigram_stats,
         "text_distinctive_terms": q_text_distinctive_terms,
         "pipeline_corpus_select": q_pipeline_corpus_select,
@@ -2191,6 +2280,103 @@ def _pld_oracle_sql() -> str:
                            list_slice(labels, n - take + 1, n), '.')
                END AS pld
         FROM f
+    """
+
+
+def _domain_collapse_oracle_sql() -> str:
+    """DuckDB twin of graph_domain_collapse: constructs the same
+    src/dst hosts (dst id = (doc_id*31+7) % 997), replays the PSL
+    longest-suffix-match chain once per side (same generic algorithm
+    as _pld_oracle_sql, lower(host) fallback when no registrable
+    domain), drops intra-domain self-edges, then the identical
+    GROUP BY with count(*) and count(DISTINCT lower(src_host))."""
+    from ieps_crawler_spark.functions.domains import PUBLIC_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in sorted(set(PUBLIC_SUFFIXES)))
+
+    def host_case(idexpr: str) -> str:
+        return f"""CASE ({idexpr} % 7)
+                   WHEN 0 THEN 'www.site' || {idexpr} || '.gov.si'
+                   WHEN 1 THEN 'sub.Blog' || {idexpr} || '.co.uk'
+                   WHEN 2 THEN 'a.b.node' || {idexpr} || '.ac.jp'
+                   WHEN 3 THEN 'site' || {idexpr} || '.com'
+                   WHEN 4 THEN 'host' || {idexpr} || '.weird'
+                   WHEN 5 THEN '93.184.' || ({idexpr} % 250) || '.34'
+                   ELSE 'gov.si'
+                 END"""
+
+    def pld_chain(side: str, carry: str) -> str:
+        """Four CTEs computing {side}_pld from {side}_host, carrying
+        ``carry`` columns through (PSL longest-match, IP literal = its
+        own unit, lower(host) fallback for no-match)."""
+        h = f"{side}_host"
+        return rf"""
+        {side}lab AS (
+          SELECT {carry},
+                 string_split(lower({h}), '.') AS labels,
+                 len(string_split(lower({h}), '.')) AS n,
+                 (regexp_matches(lower({h}),
+                    '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$')
+                  OR contains({h}, ':')) AS is_ip
+          FROM {side}src),
+        {side}m AS (
+          SELECT {carry}, labels, n, is_ip,
+                 list_filter(
+                   list_transform(range(1, n + 1),
+                     k -> array_to_string(
+                            list_slice(labels, n - k + 1, n), '.')),
+                   s -> list_contains([{sufs}], s)) AS matched
+          FROM {side}lab),
+        {side}ps AS (
+          SELECT {carry}, labels, n, is_ip,
+                 coalesce(len(string_split(
+                   CASE WHEN len(matched) > 0
+                        THEN matched[len(matched)] END, '.')), 1) + 1
+                   AS take
+          FROM {side}m),
+        {side}fin AS (
+          SELECT {carry},
+                 coalesce(
+                   CASE WHEN is_ip THEN lower({h})
+                        WHEN n >= take AND n >= 2
+                        THEN array_to_string(
+                               list_slice(labels, n - take + 1, n), '.')
+                   END, lower({h})) AS {side}_pld
+          FROM {side}ps)"""
+
+    return rf"""
+        WITH hosts AS (
+          SELECT {host_case('doc_id')} AS src_host,
+                 {host_case('((doc_id * 31 + 7) % 997)')} AS dst_host
+          FROM documents),
+        srcsrc AS (SELECT src_host, dst_host FROM hosts),
+        {pld_chain('src', 'src_host, dst_host')},
+        dstsrc AS (SELECT src_host, dst_host, src_pld FROM srcfin),
+        {pld_chain('dst', 'src_host, src_pld, dst_host')}
+        SELECT src_pld, dst_pld,
+               count(*)::BIGINT AS n_links,
+               count(DISTINCT lower(src_host))::BIGINT AS n_src_hosts
+        FROM dstfin
+        WHERE src_pld <> dst_pld
+        GROUP BY src_pld, dst_pld
+    """
+
+
+def _text_normalize_oracle_sql() -> str:
+    """DuckDB twin of text_normalize: builds the identical denormalized
+    wrapper (combining acute via chr(769), BEL via chr(7), tab/newline
+    padding) around substring(text,1,80), then replays the exact
+    normalize pipeline — nfc_normalize + the byte-identical regex chain
+    shared via operators.normalize.duck_normalize_sql."""
+    from ieps_crawler_spark.operators.normalize import duck_normalize_sql
+
+    raw = (
+        "('Cafe' || chr(769) || ' ' || chr(9) || 'x' || chr(7) || ' ' "
+        "|| chr(10) || ' ' || substring(text, 1, 80) || '  tail  ')"
+    )
+    return f"""
+        SELECT doc_id, {duck_normalize_sql(raw)} AS norm_text
+        FROM documents
     """
 
 
@@ -4227,6 +4413,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h2 ON n.node_id = h2.s
             LEFT JOIN a2 ON n.node_id = a2.d
         """,
+        "graph_trustrank": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+              FROM lineitem),
+            nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            t AS (
+              SELECT node_id,
+                     CASE WHEN node_id % 50 = 0
+                          THEN 1.0 / (SELECT count(*) FROM nodes
+                                      WHERE node_id % 50 = 0)
+                          ELSE 0.0 END AS tv
+              FROM nodes),
+            deg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+            r0 AS (SELECT node_id, tv AS tr FROM t),
+            r1 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r0 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id),
+            r2 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r1 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id),
+            r3 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r2 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id)
+            SELECT node_id, round(tr, 6) AS trustrank FROM r3
+        """,
         "graph_pagerank": r"""
             WITH e AS (
               SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
@@ -4454,6 +4674,8 @@ def oracle_sql() -> dict[str, str]:
         # sha256() is lowercase hex in DuckDB -> upper() to match Spark's
         # upper(sha2(..., 256)); octet_length::BIGINT twins length(binary)
         "crawl_pld_extract": _pld_oracle_sql(),
+        "graph_domain_collapse": _domain_collapse_oracle_sql(),
+        "text_normalize": _text_normalize_oracle_sql(),
         "crawl_url_filter": _url_filter_oracle_sql(),
         "text_main_content": _main_content_oracle_sql(),
         "crawl_redirect_resolve": r"""

@@ -517,3 +517,154 @@ def approx_diameter(
         F.col("diameter_lb").cast("long").alias("diameter_lb"),
         F.col("n_reached").cast("long").alias("n_reached"),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    iterations: int = 3,
+    src: str = "from_id",
+    dst: str = "to_id",
+    damping: float = DAMPING,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
+    biased toward a hand-vetted trusted seed set, the standard web-spam
+    demotion signal a gov.si-seeded crawl would run over its link table
+    (the reference's report computes plain PageRank in Gephi,
+    report/report.tex:228-232; TrustRank is the curation-grade sibling).
+
+        t(v)        = 1/|T| if v in T else 0        (normalized teleport)
+        rank_0(v)   = t(v)
+        rank_k+1(v) = (1-d) * t(v) + d * sum_{u->v} rank_k(u) / outdeg(u)
+
+    Unlike pagerank() there is no uniform (1-d) floor: mass only enters
+    at trusted nodes, so pages unreachable from the trust set converge
+    to 0 — exactly the spam-demotion property. Fixed iterations, no
+    dangling-mass redistribution, so a SQL oracle reproduces it exactly.
+
+    ``trusted`` is a 1-column DataFrame of trusted node ids (any column
+    name; the first column is used). Returns (node_id, trustrank).
+
+    Scale posture: identical to pagerank — one shuffle per iteration
+    (join on src + groupBy on dst); the teleport vector is a flag column
+    on the node list, |T| arrives via a broadcast 1-row aggregate (never
+    a driver collect). The contribution edges are cached across the
+    bounded loop and unpersisted before return.
+    """
+    if iterations < 1:
+        raise ValueError("trustrank requires iterations >= 1")
+    t_col = trusted.columns[0]
+    t_nodes = trusted.select(F.col(t_col).alias("node_id")).distinct()
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .unionByName(edges.select(F.col(dst).alias("node_id")))
+        .unionByName(t_nodes)
+        .distinct()
+    )
+    # 1-row aggregate pivot: |T| joins in as a broadcast cross, the
+    # sanctioned bounded-side nested-loop pattern (plans/audit.py).
+    n_t = t_nodes.agg(F.count(F.lit(1)).alias("n_trusted"))
+    teleport = (
+        nodes.join(t_nodes.withColumn("_t", F.lit(1)), "node_id", "left")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "node_id",
+            F.when(
+                F.col("_t").isNotNull(), F.lit(1.0) / F.col("n_trusted")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+    )
+    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
+    contrib_edges = edges.join(
+        deg, edges[src] == deg["node_id"], "inner"
+    ).select(
+        F.col(src).alias("c_src"),
+        F.col(dst).alias("c_dst"),
+        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
+    )
+    contrib_edges.cache()
+    teleport.cache()
+    ranked = teleport.select("node_id", F.col("t").alias("trustrank"))
+    try:
+        for _ in range(iterations):
+            incoming = (
+                contrib_edges.join(
+                    ranked,
+                    contrib_edges["c_src"] == ranked["node_id"],
+                    "inner",
+                )
+                .select(
+                    F.col("c_dst").alias("node_id"),
+                    (F.col("trustrank") * F.col("inv_deg")).alias("c"),
+                )
+                .groupBy("node_id")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            ranked = teleport.join(incoming, "node_id", "left").select(
+                "node_id",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("trustrank"),
+            )
+        ranked = ranked.localCheckpoint(eager=True)
+    finally:
+        contrib_edges.unpersist()
+        teleport.unpersist()
+    return ranked
+
+
+def domain_graph(
+    edges: DataFrame,
+    src_host: str = "src_host",
+    dst_host: str = "dst_host",
+    suffixes=None,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Collapse a host-level edge list to the registrable-domain (PLD)
+    web graph — the aggregation Common Crawl publishes as its
+    "domain-level graph" and the right granularity for host-rank /
+    spam-mass analytics over a 10^10-URL crawl (the reference's link
+    table is page-level only, DBCrud.scala link inserts).
+
+    Node key = registrable_domain(host) with a lower(host) fallback for
+    hosts the PSL yields nothing for (single-label intranet names), so
+    no edge is silently dropped. Edge payload:
+
+        n_links     — total host-to-host links collapsed into the edge
+        n_src_hosts — distinct source hosts supporting it (a link-farm
+                      discriminator: 10k links from ONE host vs from
+                      300 hosts are different signals)
+
+    ``drop_self`` removes intra-domain edges (the overwhelming majority
+    of web links; the domain graph is usually studied without them).
+
+    Scale posture: PLD extraction is pure whole-stage-codegen array
+    expressions (functions/domains.py), then ONE hash aggregate on the
+    (src_pld, dst_pld) pair — map-side partial aggregation collapses
+    the heavy intra-site mass before the shuffle, so the shuffle volume
+    is O(distinct domain pairs), not O(links).
+    """
+    from ..functions.domains import PUBLIC_SUFFIXES, registrable_domain
+
+    sfx = tuple(suffixes) if suffixes is not None else PUBLIC_SUFFIXES
+    s = F.coalesce(
+        registrable_domain(src_host, sfx), F.lower(F.col(src_host))
+    )
+    d = F.coalesce(
+        registrable_domain(dst_host, sfx), F.lower(F.col(dst_host))
+    )
+    plds = edges.select(
+        s.alias("src_pld"),
+        d.alias("dst_pld"),
+        F.lower(F.col(src_host)).alias("_sh"),
+    )
+    if drop_self:
+        plds = plds.filter(F.col("src_pld") != F.col("dst_pld"))
+    return plds.groupBy("src_pld", "dst_pld").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(F.col("_sh")).alias("n_src_hosts"),
+    )

@@ -1,0 +1,106 @@
+"""trustrank + domain_graph (operators/graph.py round-3 additions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ieps_crawler_spark.operators.graph import (
+    domain_graph,
+    pagerank,
+    trustrank,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "from_id long, to_id long")
+
+
+def test_trustrank_spam_island_is_zero(spark):
+    # 1->2->3->1 cycle (1 trusted), 4->5 (4 trusted), 9->1 spam feeder,
+    # 7->8 island with no trust at all
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (9, 1), (7, 8)])
+    t = spark.createDataFrame([(1,), (4,)], "node_id long")
+    out = {r.node_id: r.trustrank for r in trustrank(e, t, 3).collect()}
+    assert out[9] == 0.0 and out[7] == 0.0 and out[8] == 0.0
+    assert out[1] > out[2] > 0.0  # trusted source outranks downstream
+    assert out[5] > 0.0  # reachable from trust in one hop
+
+
+def test_trustrank_mass_bounded_by_one(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3)])
+    t = spark.createDataFrame([(1,), (2,)], "node_id long")
+    out = trustrank(e, t, 5)
+    total = out.agg(F.sum("trustrank")).first()[0]
+    # no (1-d) floor: total mass <= 1 (leaks only via dangling node 3)
+    assert 0.0 < total <= 1.0 + 1e-12
+
+
+def test_trustrank_uniform_trust_equals_scaled_pagerank(spark):
+    # when EVERY node is trusted, t(v) = 1/n and the recurrence is
+    # pagerank's scaled by 1/n (pagerank uses rank0=1, floor (1-d)*1)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+    tr = {r.node_id: r.trustrank for r in trustrank(e, nodes, 3).collect()}
+    pr = {r.node_id: r.pagerank for r in pagerank(e, 3).collect()}
+    for n in (1, 2, 3):
+        assert tr[n] == pytest.approx(pr[n] / 3.0, rel=1e-12)
+
+
+def test_trustrank_zero_iterations_raises(spark):
+    e = _edges(spark, [(1, 2)])
+    t = spark.createDataFrame([(1,)], "node_id long")
+    with pytest.raises(ValueError):
+        trustrank(e, t, 0)
+
+
+def test_trustrank_trusted_node_outside_edge_set(spark):
+    # a trusted node with no edges still appears, holding its teleport
+    e = _edges(spark, [(1, 2)])
+    t = spark.createDataFrame([(99,)], "node_id long")
+    out = {r.node_id: r.trustrank for r in trustrank(e, t, 2).collect()}
+    assert out[99] == pytest.approx(0.15, rel=1e-9)  # (1-d)*1, no inflow
+    assert out[1] == 0.0  # untrusted, no trusted in-links
+
+
+def _host_edges(spark, rows):
+    return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+
+def test_domain_graph_collapses_subdomains(spark):
+    e = _host_edges(spark, [
+        ("www.a.gov.si", "b.co.uk"),
+        ("sub.a.gov.si", "b.co.uk"),
+        ("sub.a.gov.si", "cdn.b.co.uk"),
+        ("www.a.gov.si", "x.a.gov.si"),   # intra-domain -> dropped
+    ])
+    out = {(r.src_pld, r.dst_pld): (r.n_links, r.n_src_hosts)
+           for r in domain_graph(e).collect()}
+    assert out == {("a.gov.si", "b.co.uk"): (3, 2)}
+
+
+def test_domain_graph_keeps_self_edges_when_asked(spark):
+    e = _host_edges(spark, [("www.a.com", "b.a.com")])
+    out = domain_graph(e, drop_self=False).collect()
+    assert len(out) == 1 and out[0].src_pld == "a.com"
+    assert domain_graph(e).count() == 0
+
+
+def test_domain_graph_fallback_and_ip_units(spark):
+    e = _host_edges(spark, [
+        ("intranet", "b.co.uk"),          # single label -> lower(host)
+        ("93.184.216.34", "b.co.uk"),     # IP literal = its own unit
+        ("10.77.216.34", "b.co.uk"),      # distinct IP stays distinct
+    ])
+    out = {r.src_pld for r in domain_graph(e).collect()}
+    assert out == {"intranet", "93.184.216.34", "10.77.216.34"}
+
+
+def test_domain_graph_case_folds_hosts(spark):
+    e = _host_edges(spark, [
+        ("WWW.A.gov.si", "B.co.uk"),
+        ("www.a.GOV.SI", "b.CO.UK"),
+    ])
+    rows = domain_graph(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # both spellings are ONE source host after case-folding
+    assert (r.n_links, r.n_src_hosts) == (2, 1)
