@@ -1702,6 +1702,56 @@ def q_graph_trustrank(spark, sf_dir):
     )
 
 
+def q_pipeline_normalize_dedup(spark, sf_dir):
+    """Normalization feeding the exact-dedup key (the reason the
+    normalize pass exists): every document is expanded into two raw
+    variants — an NFC-precomposed and a combining-mark spelling of the
+    same text — which are distinct byte strings (2 raw md5 groups) but
+    collapse to ONE group when the dedup key is md5(normalized text).
+    Oracle replays the variant construction, the normalize chain and
+    both distinct-counts in DuckDB."""
+    from ieps_crawler_spark.operators.normalize import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("Caf\u00e9 "), F.col("text")),
+                F.concat(F.lit("Cafe\u0301 "), F.col("text")),
+            )
+        ).alias("text"),
+    )
+    normalized = normalize_text(variants)
+    return normalized.groupBy("doc_id").agg(
+        F.count_distinct(F.md5("text")).alias("n_raw_variants"),
+        F.count_distinct(F.md5("norm_text")).alias("n_norm_groups"),
+    )
+
+
+def q_graph_spam_mass(spark, sf_dir):
+    """Relative spam mass (Gyongyi et al., VLDB 2006) over the toy link
+    graph: the PageRank fraction not flowing through the trusted core
+    (trust set = node_id % 50 == 0, matching graph_trustrank) — the
+    demote/blocklist ranking signal. Oracle joins the two unrolled
+    3-iteration chains and replays the n-scaled mass formula."""
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    edges = _toy_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("from_id").alias("node_id"))
+        .unionByName(edges.select(F.col("to_id").alias("node_id")))
+        .distinct()
+    )
+    trusted = nodes.filter(F.pmod(F.col("node_id"), F.lit(50)) == 0)
+    return spam_mass(edges, trusted, iterations=3).select(
+        "node_id",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("trustrank_scaled", 6).alias("trustrank_scaled"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def q_graph_domain_collapse(spark, sf_dir):
     """Registrable-domain (PLD) web-graph collapse — the aggregation
     Common Crawl publishes as its domain-level graph, over synthetic
@@ -2119,6 +2169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor-stats oracle, round-3 additions) plus a refill of core
         # ops; the remainder were all driver-green in earlier rounds.
         "graph_trustrank": q_graph_trustrank,
+        "graph_spam_mass": q_graph_spam_mass,
+        "pipeline_normalize_dedup": q_pipeline_normalize_dedup,
         "graph_domain_collapse": q_graph_domain_collapse,
         "text_normalize": q_text_normalize,
         "text_unigram_stats": q_text_unigram_stats,
@@ -2377,6 +2429,31 @@ def _text_normalize_oracle_sql() -> str:
     return f"""
         SELECT doc_id, {duck_normalize_sql(raw)} AS norm_text
         FROM documents
+    """
+
+
+def _normalize_dedup_oracle_sql() -> str:
+    """DuckDB twin of pipeline_normalize_dedup: the same two raw
+    variants per document (precomposed via chr(233), combining mark
+    via chr(769)), the shared normalize chain, then distinct-counts of
+    the raw vs normalized md5 dedup keys."""
+    from ieps_crawler_spark.operators.normalize import duck_normalize_sql
+
+    return f"""
+        WITH v AS (
+          SELECT doc_id, 'Caf' || chr(233) || ' ' || text AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'Cafe' || chr(769) || ' ' || text
+          FROM documents),
+        n AS (
+          SELECT doc_id, md5(text) AS raw_h,
+                 md5({duck_normalize_sql('text')}) AS norm_h
+          FROM v)
+        SELECT doc_id,
+               count(DISTINCT raw_h)::BIGINT AS n_raw_variants,
+               count(DISTINCT norm_h)::BIGINT AS n_norm_groups
+        FROM n GROUP BY doc_id
     """
 
 
@@ -4413,6 +4490,68 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h2 ON n.node_id = h2.s
             LEFT JOIN a2 ON n.node_id = a2.d
         """,
+        "graph_spam_mass": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+              FROM lineitem),
+            nodes AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            t AS (
+              SELECT node_id,
+                     CASE WHEN node_id % 50 = 0
+                          THEN 1.0 / (SELECT count(*) FROM nodes
+                                      WHERE node_id % 50 = 0)
+                          ELSE 0.0 END AS tv
+              FROM nodes),
+            deg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+            p0 AS (SELECT node_id, 1.0 AS pr FROM nodes),
+            p1 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN p0 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id),
+            p2 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN p1 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id),
+            p3 AS (
+              SELECT n.node_id, 0.15 + 0.85 * coalesce(i.m, 0) AS pr
+              FROM nodes n LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.pr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN p2 p ON p.node_id = e.s
+                GROUP BY e.d) i ON n.node_id = i.node_id),
+            r0 AS (SELECT node_id, tv AS tr FROM t),
+            r1 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r0 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id),
+            r2 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r1 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id),
+            r3 AS (
+              SELECT t.node_id, 0.15 * t.tv + 0.85 * coalesce(i.m, 0) AS tr
+              FROM t LEFT JOIN (
+                SELECT e.d AS node_id, sum(p.tr / deg.od) AS m
+                FROM e JOIN deg ON e.s = deg.s JOIN r2 p ON p.node_id = e.s
+                GROUP BY e.d) i ON t.node_id = i.node_id),
+            scaled AS (
+              SELECT r3.node_id,
+                     r3.tr * (SELECT count(*) FROM nodes) AS trs
+              FROM r3)
+            SELECT p3.node_id,
+                   round(p3.pr, 6) AS pagerank,
+                   round(s.trs, 6) AS trustrank_scaled,
+                   round(greatest(0.0, (p3.pr - s.trs) / p3.pr), 6)
+                     AS spam_mass
+            FROM p3 JOIN scaled s ON p3.node_id = s.node_id
+        """,
         "graph_trustrank": r"""
             WITH e AS (
               SELECT DISTINCT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
@@ -4676,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pld_extract": _pld_oracle_sql(),
         "graph_domain_collapse": _domain_collapse_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
+        "pipeline_normalize_dedup": _normalize_dedup_oracle_sql(),
         "crawl_url_filter": _url_filter_oracle_sql(),
         "text_main_content": _main_content_oracle_sql(),
         "crawl_redirect_resolve": r"""

@@ -668,3 +668,50 @@ def domain_graph(
         F.count(F.lit(1)).alias("n_links"),
         F.count_distinct(F.col("_sh")).alias("n_src_hosts"),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: DataFrame,
+    iterations: int = 3,
+    src: str = "from_id",
+    dst: str = "to_id",
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina, Pedersen,
+    'Link Spam Detection Based on Mass Estimation', VLDB 2006): the
+    fraction of a page's PageRank that does NOT come through the
+    trusted core —
+
+        mass(v) = max(0, (PR(v) - n * TR(v)) / PR(v))
+
+    where TR is trustrank() over the same edges/iterations and the
+    n-scaling (n = |nodes|) puts TR on PR's scale: with EVERY node
+    trusted, TR == PR/n exactly (see tests), so mass == 0 everywhere;
+    a node whose rank is entirely spam-sourced has TR == 0 and
+    mass == 1. Demotion/blocklist candidates = high PR, high mass.
+
+    Returns (node_id, pagerank, trustrank_scaled, spam_mass), all
+    unrounded doubles.
+
+    Scale posture: two bounded iterative jobs (pagerank + trustrank,
+    1 shuffle/iteration each, both lineage-truncated) + ONE node-keyed
+    join; |nodes| arrives as a broadcast 1-row aggregate, never a
+    driver collect.
+    """
+    pr = pagerank(edges, iterations, src, dst)
+    tr = trustrank(edges, trusted, iterations, src, dst)
+    n = pr.agg(F.count(F.lit(1)).alias("n_nodes"))
+    scaled = tr.crossJoin(F.broadcast(n)).select(
+        "node_id",
+        (F.col("trustrank") * F.col("n_nodes")).alias("trustrank_scaled"),
+    )
+    return pr.join(scaled, "node_id").select(
+        "node_id",
+        "pagerank",
+        "trustrank_scaled",
+        F.greatest(
+            F.lit(0.0),
+            (F.col("pagerank") - F.col("trustrank_scaled"))
+            / F.col("pagerank"),
+        ).alias("spam_mass"),
+    )

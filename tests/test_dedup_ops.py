@@ -429,3 +429,30 @@ def test_containment_short_doc_null_not_zero(spark):
     assert got[(1, 2)] == (0, None, 0)
     # 3-word doc has exactly its whole-doc gram, fully contained in doc 2
     assert got[(3, 2)] == (1, 1000, 333)
+
+
+def test_remove_duplicate_paragraphs_via_delim(spark):
+    """Paragraph-level boilerplate pass (RefinedWeb dedups paragraphs,
+    not only lines) = the same operator with delim='\\n\\n': the blank
+    line is part of the separator, so multi-line paragraphs are the
+    dedup unit and single shared LINES inside unique paragraphs
+    survive."""
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_lines
+
+    banner = "cookie notice\nclick accept"
+    rows = [
+        (1, banner + "\n\n" + "unique one\nshared line"),
+        (2, banner + "\n\n" + "unique two\nshared line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_lines(df, delim="\n\n").collect()}
+    # the banner PARAGRAPH (2 docs) dies; the paragraphs that share
+    # only a line stay (they differ as whole paragraphs)
+    assert out[1].text == "unique one\nshared line"
+    assert out[2].text == "unique two\nshared line"
+    assert out[1].n_removed == 1 and out[2].n_removed == 1
+    # line-granular pass on the same input also kills the shared line
+    line_out = {r.doc_id: r.text for r in
+                remove_duplicate_lines(df, delim="\n").collect()}
+    assert "shared line" not in line_out[1]

@@ -104,3 +104,33 @@ def test_domain_graph_case_folds_hosts(spark):
     r = rows[0]
     # both spellings are ONE source host after case-folding
     assert (r.n_links, r.n_src_hosts) == (2, 1)
+
+
+def test_spam_mass_extremes(spark):
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    # two disjoint islands: trusted cycle 1<->2; spam chain 8->9
+    e = _edges(spark, [(1, 2), (2, 1), (8, 9)])
+    t = spark.createDataFrame([(1,), (2,)], "node_id long")
+    out = {r.node_id: r for r in spam_mass(e, t, 3).collect()}
+    # trust-island nodes: some rank comes from the (1-d) PR floor that
+    # trustrank lacks, but mass must be far below the spam island's
+    assert out[8].spam_mass == 1.0 and out[9].spam_mass == 1.0
+    assert out[1].spam_mass < 0.75 and out[2].spam_mass < 0.75
+    # pagerank column matches standalone pagerank
+    pr = {r.node_id: r.pagerank for r in pagerank(e, 3).collect()}
+    for n_id, row in out.items():
+        assert row.pagerank == pr[n_id]
+
+
+def test_spam_mass_zero_when_everyone_trusted(spark):
+    import pytest as _pt
+
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+    for r in spam_mass(e, nodes, 3).collect():
+        # TR*n == PR exactly when everyone is trusted -> mass ~ 0
+        assert r.spam_mass == _pt.approx(0.0, abs=1e-9)
+        assert r.trustrank_scaled == _pt.approx(r.pagerank, rel=1e-12)
