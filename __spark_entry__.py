@@ -1680,6 +1680,18 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_toy_edges(spark, sf_dir))
 
 
+def _toy_trusted(edges):
+    """Trust set shared by graph_trustrank and graph_spam_mass (their
+    oracles assume the SAME set): every toy-graph node divisible by
+    50."""
+    nodes = (
+        edges.select(F.col("from_id").alias("node_id"))
+        .unionByName(edges.select(F.col("to_id").alias("node_id")))
+        .distinct()
+    )
+    return nodes.filter(F.pmod(F.col("node_id"), F.lit(50)) == 0)
+
+
 def q_graph_trustrank(spark, sf_dir):
     """TrustRank (Gyongyi et al., VLDB 2004) over the toy link graph —
     PageRank biased to a trusted seed set (node_id % 50 == 0), the
@@ -1691,13 +1703,7 @@ def q_graph_trustrank(spark, sf_dir):
     from ieps_crawler_spark.operators.graph import trustrank
 
     edges = _toy_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("from_id").alias("node_id"))
-        .unionByName(edges.select(F.col("to_id").alias("node_id")))
-        .distinct()
-    )
-    trusted = nodes.filter(F.pmod(F.col("node_id"), F.lit(50)) == 0)
-    return trustrank(edges, trusted, iterations=3).select(
+    return trustrank(edges, _toy_trusted(edges), iterations=3).select(
         "node_id", F.round("trustrank", 6).alias("trustrank")
     )
 
@@ -1738,13 +1744,7 @@ def q_graph_spam_mass(spark, sf_dir):
     from ieps_crawler_spark.operators.graph import spam_mass
 
     edges = _toy_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("from_id").alias("node_id"))
-        .unionByName(edges.select(F.col("to_id").alias("node_id")))
-        .distinct()
-    )
-    trusted = nodes.filter(F.pmod(F.col("node_id"), F.lit(50)) == 0)
-    return spam_mass(edges, trusted, iterations=3).select(
+    return spam_mass(edges, _toy_trusted(edges), iterations=3).select(
         "node_id",
         F.round("pagerank", 6).alias("pagerank"),
         F.round("trustrank_scaled", 6).alias("trustrank_scaled"),

@@ -632,7 +632,11 @@ def domain_graph(
 
     Node key = registrable_domain(host) with a lower(host) fallback for
     hosts the PSL yields nothing for (single-label intranet names), so
-    no edge is silently dropped. Edge payload:
+    no parseable edge is silently dropped; rows whose src or dst host
+    is NULL (unattributable upstream parse failures) are excluded
+    explicitly — in BOTH drop_self modes, so the flag never changes
+    which edges exist, only whether intra-domain ones are kept. Edge
+    payload:
 
         n_links     — total host-to-host links collapsed into the edge
         n_src_hosts — distinct source hosts supporting it (a link-farm
@@ -661,6 +665,8 @@ def domain_graph(
         s.alias("src_pld"),
         d.alias("dst_pld"),
         F.lower(F.col(src_host)).alias("_sh"),
+    ).filter(
+        F.col("src_pld").isNotNull() & F.col("dst_pld").isNotNull()
     )
     if drop_self:
         plds = plds.filter(F.col("src_pld") != F.col("dst_pld"))
@@ -684,34 +690,110 @@ def spam_mass(
 
         mass(v) = max(0, (PR(v) - n * TR(v)) / PR(v))
 
-    where TR is trustrank() over the same edges/iterations and the
-    n-scaling (n = |nodes|) puts TR on PR's scale: with EVERY node
-    trusted, TR == PR/n exactly (see tests), so mass == 0 everywhere;
-    a node whose rank is entirely spam-sourced has TR == 0 and
-    mass == 1. Demotion/blocklist candidates = high PR, high mass.
+    computed over the node universe = edge endpoints UNION the trusted
+    set (so a trusted node outside the edge set still appears: its PR
+    is the (1-d) floor an isolated node earns, its mass exactly 0) and
+    n = |universe| — the same universe TR normalizes its teleport over,
+    keeping the scaling identity honest: with EVERY node trusted,
+    TR == PR/n exactly (see tests) and mass == 0 everywhere; a node
+    whose rank is entirely spam-sourced has TR == 0 and mass == 1.
+    Demotion/blocklist candidates = high PR, high mass.
 
     Returns (node_id, pagerank, trustrank_scaled, spam_mass), all
-    unrounded doubles.
+    unrounded doubles; pagerank and the implied trustrank are
+    value-identical to standalone pagerank()/trustrank() runs.
 
-    Scale posture: two bounded iterative jobs (pagerank + trustrank,
-    1 shuffle/iteration each, both lineage-truncated) + ONE node-keyed
-    join; |nodes| arrives as a broadcast 1-row aggregate, never a
+    Scale posture: ONE fused iterative job — both recurrences ride the
+    same cached (src, dst, 1/outdeg) contribution frame and the same
+    per-iteration join + groupBy (two sum() aggregates in one hash
+    agg), so the edge set is degree-aggregated, joined and cached ONCE
+    and each iteration costs one shuffle total, not one per rank.
+    |nodes| and |T| arrive as a broadcast 1-row aggregate, never a
     driver collect.
     """
-    pr = pagerank(edges, iterations, src, dst)
-    tr = trustrank(edges, trusted, iterations, src, dst)
-    n = pr.agg(F.count(F.lit(1)).alias("n_nodes"))
-    scaled = tr.crossJoin(F.broadcast(n)).select(
-        "node_id",
-        (F.col("trustrank") * F.col("n_nodes")).alias("trustrank_scaled"),
+    if iterations < 1:
+        raise ValueError("spam_mass requires iterations >= 1")
+    t_col = trusted.columns[0]
+    t_nodes = trusted.select(F.col(t_col).alias("node_id")).distinct()
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .unionByName(edges.select(F.col(dst).alias("node_id")))
+        .unionByName(t_nodes)
+        .distinct()
     )
-    return pr.join(scaled, "node_id").select(
-        "node_id",
-        "pagerank",
-        "trustrank_scaled",
-        F.greatest(
-            F.lit(0.0),
-            (F.col("pagerank") - F.col("trustrank_scaled"))
-            / F.col("pagerank"),
-        ).alias("spam_mass"),
+    flagged = nodes.join(
+        t_nodes.withColumn("_t", F.lit(1)), "node_id", "left"
     )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_trusted"),
+    )
+    teleport = flagged.crossJoin(F.broadcast(counts)).select(
+        "node_id",
+        "n_nodes",
+        F.when(F.col("_t").isNotNull(), F.lit(1.0) / F.col("n_trusted"))
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
+    contrib_edges = edges.join(
+        deg, edges[src] == deg["node_id"], "inner"
+    ).select(
+        F.col(src).alias("c_src"),
+        F.col(dst).alias("c_dst"),
+        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
+    )
+    contrib_edges.cache()
+    teleport.cache()
+    ranked = teleport.select(
+        "node_id", F.lit(1.0).alias("pr"), F.col("t").alias("tr")
+    )
+    try:
+        for _ in range(iterations):
+            incoming = (
+                contrib_edges.join(
+                    ranked,
+                    contrib_edges["c_src"] == ranked["node_id"],
+                    "inner",
+                )
+                .select(
+                    F.col("c_dst").alias("node_id"),
+                    (F.col("pr") * F.col("inv_deg")).alias("pc"),
+                    (F.col("tr") * F.col("inv_deg")).alias("tc"),
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.sum("pc").alias("pm"),
+                    F.sum("tc").alias("tm"),
+                )
+            )
+            ranked = teleport.join(incoming, "node_id", "left").select(
+                "node_id",
+                (
+                    F.lit(1.0 - DAMPING)
+                    + F.lit(DAMPING) * F.coalesce(F.col("pm"), F.lit(0.0))
+                ).alias("pr"),
+                (
+                    F.lit(1.0 - DAMPING) * F.col("t")
+                    + F.lit(DAMPING) * F.coalesce(F.col("tm"), F.lit(0.0))
+                ).alias("tr"),
+            )
+        final = (
+            teleport.select("node_id", "n_nodes")
+            .join(ranked, "node_id")
+            .select(
+                "node_id",
+                F.col("pr").alias("pagerank"),
+                (F.col("tr") * F.col("n_nodes")).alias("trustrank_scaled"),
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("pr") - F.col("tr") * F.col("n_nodes"))
+                    / F.col("pr"),
+                ).alias("spam_mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        contrib_edges.unpersist()
+        teleport.unpersist()
+    return final

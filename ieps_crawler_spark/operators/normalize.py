@@ -6,16 +6,19 @@ every Common-Crawl-derived training set runs before dedup/quality
 The reference stores extracted text raw (DBCrud.scala page inserts);
 this module is the Spark-native normalization surface layered on top:
 
-  1. Unicode NFC composition      — Python (no JVM builtin), ONE
+  1. control-char strip           — JVM regexp (keeps \t and \n);
+     runs FIRST so a stray control byte between a base char and its
+     combining mark cannot block composition;
+  2. Unicode NFC composition      — Python (no JVM builtin), ONE
      Arrow-vectorized stage via ``pandas Series.str.normalize`` —
      never row-at-a-time;
-  2. control-char strip           — JVM regexp (keeps \t and \n);
   3. horizontal-whitespace fold   — JVM regexp ([ \t]+ -> one space,
      space runs around newlines dropped);
   4. trim.
 
-Steps 2-4 are plain codegen expressions; the SQL twin replays them
-verbatim in DuckDB (nfc_normalize + the same regexes), so the driver
+Steps 1, 3 and 4 are plain codegen expressions; the SQL twin replays
+the whole chain verbatim and in the same order in DuckDB
+(regexp_replace + nfc_normalize + the same regexes), so the driver
 oracle covers the full pipeline.
 
 Optional (OFF in the oracle query, pytest-golden-tested): ftfy-lite
@@ -85,11 +88,19 @@ def nfc(col: str | Column, fix_mojibake: bool = False) -> Column:
     return _repair_nfc_series(c) if fix_mojibake else _nfc_series(c)
 
 
-def clean_whitespace(col: str | Column) -> Column:
-    """JVM-side steps 2-4: control strip, horizontal-space fold, edge
-    trim. Composable after nfc() or standalone over already-NFC text."""
+def strip_controls(col: str | Column) -> Column:
+    """JVM-side control strip — runs BEFORE NFC: a stray control byte
+    between a base char and its combining mark (broken extractors emit
+    these) would otherwise block composition, splitting the dedup key
+    this pass exists to unify."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, CONTROL_RE, "")
+    return F.regexp_replace(c, CONTROL_RE, "")
+
+
+def clean_whitespace(col: str | Column) -> Column:
+    """JVM-side trailing steps: horizontal-space fold + edge trim.
+    Composable after nfc() or standalone over already-NFC text."""
+    c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, HSPACE_RE, " ")
     c = F.regexp_replace(c, EDGE_SPACE_RE, "\n")
     return F.trim(c)
@@ -101,19 +112,24 @@ def normalize_text(
     out_col: str = "norm_text",
     fix_mojibake: bool = False,
 ) -> DataFrame:
-    """Append ``out_col`` = fully normalized text (NFC + control strip
-    + whitespace fold + trim; optional mojibake repair)."""
+    """Append ``out_col`` = fully normalized text (control strip + NFC
+    + whitespace fold + trim; optional mojibake repair). Control strip
+    precedes NFC so combining marks separated from their base char by a
+    control byte still compose (NFC cannot compose across intervening
+    characters)."""
     return df.withColumn(
-        out_col, clean_whitespace(nfc(text_col, fix_mojibake))
+        out_col,
+        clean_whitespace(nfc(strip_controls(text_col), fix_mojibake)),
     )
 
 
 def duck_normalize_sql(expr: str) -> str:
     """The DuckDB scalar-expression twin of normalize_text's pipeline
     (mojibake OFF) over SQL expression ``expr`` — used by the driver
-    oracle so Spark and DuckDB replay the identical regex chain."""
-    e = f"nfc_normalize({expr})"
-    e = f"regexp_replace({e}, '{CONTROL_RE}', '', 'g')"
+    oracle so Spark and DuckDB replay the identical regex chain in the
+    identical order (controls stripped BEFORE nfc_normalize)."""
+    e = f"regexp_replace({expr}, '{CONTROL_RE}', '', 'g')"
+    e = f"nfc_normalize({e})"
     e = f"regexp_replace({e}, '{HSPACE_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{EDGE_SPACE_RE}', chr(10), 'g')"
     return f"trim({e})"

@@ -91,3 +91,10 @@ def test_single_arrow_stage_no_shuffle(spark):
     assert c["python_stages"] == 2
     assert c["shuffle_exchanges"] == 0
     assert c["sort_merge_joins"] + c["broadcast_hash_joins"] == 0
+
+
+def test_control_byte_between_base_and_mark_still_composes(spark):
+    # a control byte separating base char from combining mark must not
+    # block NFC composition (controls are stripped BEFORE NFC)
+    got = _norm(spark, ["Cafe\x07" + "\u0301" + " x"])
+    assert got == ["Caf" + E_ACUTE + " x"]

@@ -134,3 +134,32 @@ def test_spam_mass_zero_when_everyone_trusted(spark):
         # TR*n == PR exactly when everyone is trusted -> mass ~ 0
         assert r.spam_mass == _pt.approx(0.0, abs=1e-9)
         assert r.trustrank_scaled == _pt.approx(r.pagerank, rel=1e-12)
+
+
+def test_domain_graph_null_hosts_excluded_consistently(spark):
+    e = _host_edges(spark, [
+        ("www.a.com", "b.com"),
+        (None, "b.com"),
+        ("www.a.com", None),
+    ])
+    # NULL-host edges are excluded in BOTH modes (drop_self must only
+    # control intra-domain edges, never NULL visibility)
+    for kw in ({}, {"drop_self": False}):
+        rows = domain_graph(e, **kw).collect()
+        assert len(rows) == 1
+        assert (rows[0].src_pld, rows[0].dst_pld) == ("a.com", "b.com")
+
+
+def test_spam_mass_keeps_offgraph_trusted_nodes(spark):
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2)])
+    t = spark.createDataFrame([(99,)], "node_id long")
+    out = {r.node_id: r for r in spam_mass(e, t, 3).collect()}
+    # the off-graph trusted node is present: isolated-node PR floor,
+    # zero spam mass (it IS the trust core)
+    assert set(out) == {1, 2, 99}
+    assert out[99].pagerank == pytest.approx(0.15, rel=1e-12)
+    assert out[99].spam_mass == 0.0
+    # nothing is reachable from the trust core -> full mass elsewhere
+    assert out[1].spam_mass == 1.0 and out[2].spam_mass == 1.0
