@@ -163,3 +163,81 @@ def test_spam_mass_keeps_offgraph_trusted_nodes(spark):
     assert out[99].spam_mass == 0.0
     # nothing is reachable from the trust core -> full mass elsewhere
     assert out[1].spam_mass == 1.0 and out[2].spam_mass == 1.0
+
+
+def test_trust_priority_feedback_crawl_same_closure(spark, tmp_path):
+    """Crawl -> PLD domain graph from the measured link table ->
+    TrustRank seeded at the seed-list PLDs -> host priority lanes ->
+    re-crawl with the lanes as priority_table. Like the OPIC feedback
+    loop (tests/test_opic.py): trust-derived priority changes
+    scheduling, never coverage — identical seen set and per-URL
+    classification."""
+    from ieps_crawler_spark.corpus import generate_corpus
+    from ieps_crawler_spark.functions.domains import registrable_domain
+    from ieps_crawler_spark.operators.graph import domain_graph, trustrank
+    from ieps_crawler_spark.plans.crawl import Crawler
+
+    corpus = generate_corpus(100, seed=13)
+    pages = spark.createDataFrame(corpus["pages"])
+    sites = spark.createDataFrame(corpus["sites"])
+    bodies = {
+        r["url"]: r["content"]
+        for _, r in corpus["sitemap_bodies"].iterrows()
+    }
+
+    def crawl(ckpt, **kw):
+        c = Crawler(spark, pages, sites, bodies, ckpt, wave_seconds=60, **kw)
+        st = c.run(seeds=corpus["seeds"], max_waves=14)
+        assert st.waves < 14
+        return c
+
+    base = crawl(str(tmp_path / "base"))
+
+    # measured URL link graph -> host edges -> PLD domain graph
+    host_edges = base.links().select(
+        F.parse_url(F.col("from_url"), F.lit("HOST")).alias("src_host"),
+        F.parse_url(F.col("to_url"), F.lit("HOST")).alias("dst_host"),
+    )
+    dg = domain_graph(host_edges)
+    trusted = (
+        spark.createDataFrame([(u,) for u in corpus["seeds"]], "url string")
+        .select(
+            F.coalesce(
+                registrable_domain(F.parse_url(F.col("url"), F.lit("HOST"))),
+                F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
+            ).alias("pld")
+        )
+        .distinct()
+    )
+    tr = trustrank(
+        dg.select("src_pld", "dst_pld"),
+        trusted,
+        iterations=3,
+        src="src_pld",
+        dst="dst_pld",
+    )
+    # band PLD trust into two lanes at the approx median (bounded
+    # driver scalar, same posture as opic_host_lanes' quantile cuts)
+    thr = tr.agg(
+        F.percentile_approx("trustrank", F.lit(0.5), 10_000)
+    ).collect()[0][0]
+    lanes = (
+        sites.select("host")
+        .withColumn(
+            "pld",
+            F.coalesce(registrable_domain("host"), F.lower(F.col("host"))),
+        )
+        .join(tr.withColumnRenamed("node_id", "pld"), "pld", "left")
+        .select(
+            "host",
+            F.when(F.coalesce(F.col("trustrank"), F.lit(0.0)) >= thr, 0)
+            .otherwise(1)
+            .alias("priority"),
+        )
+    )
+    assert lanes.columns[:2] == ["host", "priority"]
+
+    rerun = crawl(str(tmp_path / "trust"), priority_table=lanes)
+    base_t = {r["url"]: r["page_type"] for r in base.results().collect()}
+    rerun_t = {r["url"]: r["page_type"] for r in rerun.results().collect()}
+    assert rerun_t == base_t
