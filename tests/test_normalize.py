@@ -98,3 +98,51 @@ def test_control_byte_between_base_and_mark_still_composes(spark):
     # block NFC composition (controls are stripped BEFORE NFC)
     got = _norm(spark, ["Cafe\x07" + "\u0301" + " x"])
     assert got == ["Caf" + E_ACUTE + " x"]
+
+
+# --- property tests: the repair round-trip is exact whenever it fires ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text_st = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        min_codepoint=0x20,
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_st)
+def test_repair_never_raises_and_is_identity_without_markers(s):
+    out = _repair_one(s)
+    assert isinstance(out, str)
+    if not any(m in s for m in ("\u00c3", "\u00c2", "\u00e2\u20ac")):
+        assert out == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_st)
+def test_repair_roundtrips_latin1_mojibake(s):
+    """If s's utf-8 bytes are mis-decoded as latin-1 and the result
+    shows a marker, repair must reconstruct s exactly: every latin-1
+    char maps to the same byte under cp1252 when cp1252 can encode it
+    at all, so whichever codepage the repair picks re-yields the
+    original utf-8 bytes."""
+    corrupt = s.encode("utf-8").decode("latin-1")
+    if any(m in corrupt for m in ("\u00c3", "\u00c2", "\u00e2\u20ac")):
+        assert _repair_one(corrupt) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_st)
+def test_repair_roundtrips_cp1252_mojibake(s):
+    try:
+        corrupt = s.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return  # bytes hit a cp1252 hole; not a representable corruption
+    if any(m in corrupt for m in ("\u00c3", "\u00c2", "\u00e2\u20ac")):
+        assert _repair_one(corrupt) == s
