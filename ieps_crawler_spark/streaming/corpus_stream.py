@@ -1,0 +1,143 @@
+"""Streaming corpus ingestion — continuous document arrival (the
+training-data twin of seed_stream's frontier feed): new text documents
+land as JSON-lines files, each micro-batch is normalized
+(operators/normalize.py), keyed by the sha-256 of the NORMALIZED text,
+deduped within the batch AND against everything previously accepted,
+and only first-seen documents append to the clean-corpus directory.
+
+Why normalize before hashing: an un-normalized corpus stream admits the
+same article twice when one feed emits NFC text and another emits
+combining marks (the exact failure operators/normalize.py exists to
+close) — the hash key must be post-normalization or streaming dedup
+silently leaks duplicates batch over batch.
+
+Shape: ``foreachBatch`` (same rationale as seed_stream.py): cross-batch
+state is the accepted-corpus directory itself, probed with the SAME
+batch operator the crawl uses (operators/seen.dedup_against_seen with
+``url_col="content_hash"``), so streaming and batch ingestion of the
+same files are byte-identical — proven by the equivalence test — and
+the state is a plain parquet table any batch job can read with no
+translation layer.
+
+Within-batch dedup is a deterministic struct-min first-wins (smallest
+url per hash), never dropDuplicates: drop-order varies with partition
+layout across cluster sizes, and an ingest whose accepted set depends
+on parallelism cannot be replayed or audited.
+
+Delivery contract: at-least-once foreachBatch (checkpointed file-source
+offsets); a batch replayed after a crash between write and commit can
+append twice. Readers that need exactly-once group by content_hash
+(first-wins on url) — the same collapse the next batch's anti-join
+applies going forward.
+
+Scale posture per batch: one Arrow NFC stage, one hash aggregate
+(struct-min), one anti-join against the accepted table (bloom-routable
+via the same seen.py machinery when the accepted set outgrows the
+shuffle); the accepted table is append-only parquet, O(new docs) per
+batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.normalize import normalize_text
+from ..operators.seen import dedup_against_seen
+
+__all__ = [
+    "DOC_STREAM_SCHEMA",
+    "document_stream",
+    "prepare_documents",
+    "run_corpus_ingest",
+]
+
+# JSON-lines document feed shape (url/text/lang mirror the corpus
+# input_hint columns a crawl or export produces)
+DOC_STREAM_SCHEMA = "url string, text string, lang string"
+
+
+def document_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of JSON-lines documents."""
+    r = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.json(docs_dir)
+
+
+def prepare_documents(docs: DataFrame, fix_mojibake: bool = False) -> DataFrame:
+    """Raw documents → (url, text, lang, norm_text, content_hash) with
+    blank/null text dropped and within-frame duplicates collapsed to
+    the lexicographically-smallest url per normalized-content hash
+    (deterministic first-wins — no partition-order dependence). Works
+    on a static OR streaming-batch frame; the single shared definition
+    is what makes the stream/batch equivalence test meaningful."""
+    normed = (
+        docs.filter(F.col("url").isNotNull())
+        .withColumn("url", F.trim(F.col("url")))
+        .filter(F.length("url") > 0)
+        .transform(lambda d: normalize_text(d, fix_mojibake=fix_mojibake))
+        .filter(
+            F.col("norm_text").isNotNull() & (F.length("norm_text") > 0)
+        )
+        .withColumn("content_hash", F.upper(F.sha2(F.col("norm_text"), 256)))
+    )
+    # struct-min first-wins: one hash aggregate, no window
+    return (
+        normed.groupBy("content_hash")
+        .agg(
+            F.min(
+                F.struct("url", "text", "lang", "norm_text")
+            ).alias("_w")
+        )
+        .select(
+            F.col("_w.url").alias("url"),
+            F.col("_w.text").alias("text"),
+            F.col("_w.lang").alias("lang"),
+            F.col("_w.norm_text").alias("norm_text"),
+            "content_hash",
+        )
+    )
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_dir: str,
+    ckpt_dir: str,
+    max_files_per_trigger: int | None = None,
+    fix_mojibake: bool = False,
+) -> None:
+    """Bounded ingest run: drain every unprocessed document file,
+    append the never-seen (by normalized-content hash) documents to
+    ``corpus_dir``, then stop. Re-running after new files land
+    processes ONLY the new files (checkpointed file-source offsets) and
+    appends only content absent from the accumulated corpus."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cand = prepare_documents(batch_df, fix_mojibake=fix_mojibake)
+        try:
+            accepted = batch_df.sparkSession.read.parquet(corpus_dir).select(
+                "content_hash"
+            )
+        except AnalysisException:  # first batch: no corpus yet
+            fresh = cand
+        else:
+            fresh = dedup_against_seen(
+                cand, accepted, url_col="content_hash"
+            )
+        fresh.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        document_stream(spark, docs_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,90 @@
+"""Streaming corpus ingestion (streaming/corpus_stream.py): stream ==
+batch equivalence, cross-batch dedup on the NORMALIZED content hash,
+incremental file-offset checkpointing."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ieps_crawler_spark.streaming.corpus_stream import (
+    DOC_STREAM_SCHEMA,
+    prepare_documents,
+    run_corpus_ingest,
+)
+
+E_ACUTE = "\u00e9"
+COMBINING = "e\u0301"
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+
+def _docs(n, prefix, text_of):
+    return [
+        {"url": f"http://{prefix}.si/{i}", "text": text_of(i), "lang": "sl"}
+        for i in range(n)
+    ]
+
+
+def test_stream_equals_batch_and_dedups_across_batches(spark, tmp_path):
+    docs_dir = str(tmp_path / "feed")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+
+    # file 1: 5 docs; file 2: same CONTENT under new urls, spelled with
+    # combining marks (normalization must collapse them), plus 2 new
+    _write_jsonl(
+        os.path.join(docs_dir, "a.jsonl"),
+        _docs(5, "a", lambda i: f"Caf{E_ACUTE} doc {i}"),
+    )
+    _write_jsonl(
+        os.path.join(docs_dir, "b.jsonl"),
+        _docs(5, "b", lambda i: f"Caf{COMBINING} doc {i}")
+        + _docs(2, "new", lambda i: f"fresh {i}"),
+    )
+    run_corpus_ingest(spark, docs_dir, corpus_dir, ckpt)
+
+    got = spark.read.parquet(corpus_dir)
+    # batch twin over ALL files at once
+    batch = prepare_documents(
+        spark.read.schema(DOC_STREAM_SCHEMA).json(docs_dir)
+    )
+    want = {r.content_hash: r.url for r in batch.collect()}
+    got_m = {r.content_hash: r.url for r in got.collect()}
+    assert got_m == want
+    assert got.count() == 7  # 5 contents + 2 fresh; NFC twins collapsed
+
+    # incremental: a third file with 1 dup-of-batch-1 + 1 new doc
+    _write_jsonl(
+        os.path.join(docs_dir, "c.jsonl"),
+        [{"url": "http://c.si/0", "text": f"Caf{E_ACUTE} doc 0",
+          "lang": "sl"},
+         {"url": "http://c.si/1", "text": "brand new", "lang": "sl"}],
+    )
+    run_corpus_ingest(spark, docs_dir, corpus_dir, ckpt)
+    after = spark.read.parquet(corpus_dir)
+    assert after.count() == 8  # only the genuinely-new doc appended
+    assert after.filter(F.col("url") == "http://c.si/1").count() == 1
+    assert after.filter(F.col("url") == "http://c.si/0").count() == 0
+
+
+def test_prepare_documents_deterministic_first_wins(spark):
+    rows = [
+        ("http://z.si/1", "same text", "sl"),
+        ("http://a.si/1", "same  text", "sl"),   # whitespace-folds equal
+        ("http://m.si/1", "same text", "sl"),
+        ("http://x.si/1", "", "sl"),             # blank -> dropped
+        ("http://y.si/1", None, "sl"),           # null -> dropped
+        (None, "orphan", "sl"),                  # null url -> dropped
+    ]
+    df = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    out = prepare_documents(df).collect()
+    assert len(out) == 1
+    # lexicographically smallest url wins, independent of input order
+    assert out[0].url == "http://a.si/1"
+    assert out[0].norm_text == "same text"
