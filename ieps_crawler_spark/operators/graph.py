@@ -25,6 +25,18 @@ def out_degrees(edges: DataFrame, src: str = "from_id", dst: str = "to_id") -> D
     return edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_degree"))
 
 
+def _contrib_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(c_src, c_dst, 1/outdeg) contribution frame shared by the
+    pagerank / trustrank / spam_mass iteration loops — ONE definition
+    so a change to degree handling cannot drift between them."""
+    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
+    return edges.join(deg, edges[src] == deg["node_id"], "inner").select(
+        F.col(src).alias("c_src"),
+        F.col(dst).alias("c_dst"),
+        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -41,16 +53,9 @@ def pagerank(
         .unionByName(edges.select(F.col(dst).alias("node_id")))
         .distinct()
     )
-    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
     ranked = nodes.withColumn("pagerank", F.lit(1.0))
     # contribution edges carry 1/outdeg once — reused every iteration
-    contrib_edges = edges.join(
-        deg, edges[src] == deg["node_id"], "inner"
-    ).select(
-        F.col(src).alias("c_src"),
-        F.col(dst).alias("c_dst"),
-        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
-    )
+    contrib_edges = _contrib_edges(edges, src, dst)
     contrib_edges.cache()
     try:
         for _ in range(iterations):
@@ -554,7 +559,13 @@ def trustrank(
     if iterations < 1:
         raise ValueError("trustrank requires iterations >= 1")
     t_col = trusted.columns[0]
-    t_nodes = trusted.select(F.col(t_col).alias("node_id")).distinct()
+    # NULL trusted ids are dropped: a NULL can never equi-join onto a
+    # node, so keeping it would only dilute the 1/|T| teleport
+    t_nodes = (
+        trusted.select(F.col(t_col).alias("node_id"))
+        .filter(F.col("node_id").isNotNull())
+        .distinct()
+    )
     nodes = (
         edges.select(F.col(src).alias("node_id"))
         .unionByName(edges.select(F.col(dst).alias("node_id")))
@@ -576,14 +587,7 @@ def trustrank(
             .alias("t"),
         )
     )
-    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
-    contrib_edges = edges.join(
-        deg, edges[src] == deg["node_id"], "inner"
-    ).select(
-        F.col(src).alias("c_src"),
-        F.col(dst).alias("c_dst"),
-        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
-    )
+    contrib_edges = _contrib_edges(edges, src, dst)
     contrib_edges.cache()
     teleport.cache()
     ranked = teleport.select("node_id", F.col("t").alias("trustrank"))
@@ -682,6 +686,7 @@ def spam_mass(
     iterations: int = 3,
     src: str = "from_id",
     dst: str = "to_id",
+    damping: float = DAMPING,
 ) -> DataFrame:
     """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina, Pedersen,
     'Link Spam Detection Based on Mass Estimation', VLDB 2006): the
@@ -714,7 +719,12 @@ def spam_mass(
     if iterations < 1:
         raise ValueError("spam_mass requires iterations >= 1")
     t_col = trusted.columns[0]
-    t_nodes = trusted.select(F.col(t_col).alias("node_id")).distinct()
+    # same NULL-trusted contract as trustrank: dropped, never diluting
+    t_nodes = (
+        trusted.select(F.col(t_col).alias("node_id"))
+        .filter(F.col("node_id").isNotNull())
+        .distinct()
+    )
     nodes = (
         edges.select(F.col(src).alias("node_id"))
         .unionByName(edges.select(F.col(dst).alias("node_id")))
@@ -724,6 +734,10 @@ def spam_mass(
     flagged = nodes.join(
         t_nodes.withColumn("_t", F.lit(1)), "node_id", "left"
     )
+    # cache before the 1-row aggregate: counts AND the teleport rows
+    # both read flagged, and the endpoint-distinct behind it is the
+    # expensive shuffle at web scale — one fill, two consumers
+    flagged.cache()
     counts = flagged.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_trusted"),
@@ -735,14 +749,7 @@ def spam_mass(
         .otherwise(F.lit(0.0))
         .alias("t"),
     )
-    deg = out_degrees(edges, src, dst).withColumnRenamed(src, "node_id")
-    contrib_edges = edges.join(
-        deg, edges[src] == deg["node_id"], "inner"
-    ).select(
-        F.col(src).alias("c_src"),
-        F.col(dst).alias("c_dst"),
-        (F.lit(1.0) / F.col("out_degree")).alias("inv_deg"),
-    )
+    contrib_edges = _contrib_edges(edges, src, dst)
     contrib_edges.cache()
     teleport.cache()
     ranked = teleport.select(
@@ -770,12 +777,12 @@ def spam_mass(
             ranked = teleport.join(incoming, "node_id", "left").select(
                 "node_id",
                 (
-                    F.lit(1.0 - DAMPING)
-                    + F.lit(DAMPING) * F.coalesce(F.col("pm"), F.lit(0.0))
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("pm"), F.lit(0.0))
                 ).alias("pr"),
                 (
-                    F.lit(1.0 - DAMPING) * F.col("t")
-                    + F.lit(DAMPING) * F.coalesce(F.col("tm"), F.lit(0.0))
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping) * F.coalesce(F.col("tm"), F.lit(0.0))
                 ).alias("tr"),
             )
         final = (
@@ -796,4 +803,5 @@ def spam_mass(
     finally:
         contrib_edges.unpersist()
         teleport.unpersist()
+        flagged.unpersist()
     return final

@@ -14,10 +14,18 @@ silently leaks duplicates batch over batch.
 Shape: ``foreachBatch`` (same rationale as seed_stream.py): cross-batch
 state is the accepted-corpus directory itself, probed with the SAME
 batch operator the crawl uses (operators/seen.dedup_against_seen with
-``url_col="content_hash"``), so streaming and batch ingestion of the
-same files are byte-identical — proven by the equivalence test — and
-the state is a plain parquet table any batch job can read with no
-translation layer.
+``url_col="content_hash"``), and the state is a plain parquet table
+any batch job can read with no translation layer.
+
+Stream/batch equivalence contract (tested): the accepted CONTENT-HASH
+set is identical however the files are batched — one micro-batch, one
+file per trigger, or a single static read. The representative ROW per
+hash differs by design: a stream keeps the url accepted in the
+EARLIEST batch that carried the content (later arrivals anti-join
+away; state is append-only), while a one-shot batch read picks the
+lexicographically smallest url across all files. Both choices are
+deterministic for a given batching; only the hash set is
+batching-invariant.
 
 Within-batch dedup is a deterministic struct-min first-wins (smallest
 url per hash), never dropDuplicates: drop-order varies with partition

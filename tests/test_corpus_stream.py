@@ -88,3 +88,49 @@ def test_prepare_documents_deterministic_first_wins(spark):
     # lexicographically smallest url wins, independent of input order
     assert out[0].url == "http://a.si/1"
     assert out[0].norm_text == "same text"
+
+
+def test_one_file_per_trigger_cross_batch_nfc_dedup(spark, tmp_path):
+    """Force one file per micro-batch so the NFC-twin collapse happens
+    via the anti-join against the ACCEPTED corpus (the cross-batch
+    path), not within-batch struct-min; the accepted content-hash set
+    must equal the single-batch run's, with the EARLIEST batch's url
+    kept per hash."""
+    docs_dir = str(tmp_path / "feed")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+
+    # file 0 must sort first by name so its urls are the earliest batch;
+    # its urls sort lexicographically LARGER (z>a) to prove the stream
+    # keeps earliest-batch urls, not smallest urls
+    _write_jsonl(
+        os.path.join(docs_dir, "0.jsonl"),
+        _docs(3, "z", lambda i: f"Caf{E_ACUTE} doc {i}"),
+    )
+    _write_jsonl(
+        os.path.join(docs_dir, "1.jsonl"),
+        _docs(3, "a", lambda i: f"Caf{COMBINING} doc {i}")
+        + _docs(1, "extra", lambda i: f"only here {i}"),
+    )
+    # the file source orders by modification time: pin 0.jsonl older so
+    # the batch order is deterministic regardless of FS timestamp
+    # granularity
+    now = os.path.getmtime(os.path.join(docs_dir, "1.jsonl"))
+    os.utime(os.path.join(docs_dir, "0.jsonl"), (now - 10, now - 10))
+    run_corpus_ingest(spark, docs_dir, corpus_dir, ckpt,
+                      max_files_per_trigger=1)
+    got = spark.read.parquet(corpus_dir)
+    assert got.count() == 4  # 3 contents (twins collapsed) + 1 extra
+
+    batch = prepare_documents(
+        spark.read.schema(DOC_STREAM_SCHEMA).json(docs_dir)
+    )
+    # batching-invariant: the accepted content-hash set
+    assert ({r.content_hash for r in got.collect()}
+            == {r.content_hash for r in batch.collect()})
+    # stream representative = earliest batch's url (z.si), even though
+    # the one-shot batch read would pick the smaller a.si urls
+    urls = {r.url for r in got.collect()}
+    assert all(u.startswith(("http://z.si/", "http://extra.si/"))
+               for u in urls), urls
+    assert {r.url for r in batch.collect()} != urls

@@ -241,3 +241,20 @@ def test_trust_priority_feedback_crawl_same_closure(spark, tmp_path):
     base_t = {r["url"]: r["page_type"] for r in base.results().collect()}
     rerun_t = {r["url"]: r["page_type"] for r in rerun.results().collect()}
     assert rerun_t == base_t
+
+
+def test_null_trusted_ids_are_dropped_not_diluting(spark):
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2), (2, 1)])
+    t_clean = spark.createDataFrame([(1,)], "node_id long")
+    t_null = spark.createDataFrame([(1,), (None,)], "node_id long")
+    # trustrank: the NULL id must not dilute the 1/|T| teleport and
+    # must not appear as a node
+    tr_c = {r.node_id: r.trustrank for r in trustrank(e, t_clean, 3).collect()}
+    tr_n = {r.node_id: r.trustrank for r in trustrank(e, t_null, 3).collect()}
+    assert tr_c == tr_n and None not in tr_n
+    # spam_mass: same contract, and value-identity with clean input
+    sm_c = {r.node_id: r.spam_mass for r in spam_mass(e, t_clean, 3).collect()}
+    sm_n = {r.node_id: r.spam_mass for r in spam_mass(e, t_null, 3).collect()}
+    assert sm_c == sm_n and None not in sm_n
