@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warc-segments", type=int, default=64,
                     help="number of WARC segment files (~1 GB each at "
                          "Common Crawl scale; one write task per segment)")
+    ap.add_argument("--graph-report", default=None, metavar="DIR",
+                    help="after the crawl, write link-graph analytics "
+                         "under DIR: the PLD-collapsed domain graph "
+                         "(domain_graph/) and, when seeds are known, "
+                         "TrustRank + relative spam mass per domain "
+                         "seeded at the seed PLDs (domain_trust/); "
+                         "prints the report-§4 degree summary row")
     ap.add_argument("--publish-iceberg", default=None, metavar="NAMESPACE",
                     help="after the crawl, publish crawl_results/links/"
                          "metrics/seen as Iceberg tables under this "
@@ -114,6 +121,85 @@ def main(argv: list[str] | None = None) -> None:
                 f"exported WARC: {tot.r} records / {tot.b} bytes in "
                 f"{args.warc_segments} segments under {args.export_warc}"
             )
+
+    if args.graph_report:
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from ieps_crawler_spark.functions.domains import registrable_domain
+        from ieps_crawler_spark.operators.graph import (
+            degree_stats,
+            domain_graph,
+            spam_mass,
+        )
+
+        links = crawler.links()
+        if links is None:
+            print("graph report: no links recorded (nothing fetched)")
+        else:
+            ds = degree_stats(links, src="from_url", dst="to_url").first()
+            print(
+                "graph: nodes={0} edges={1} avg_out_permille={2} "
+                "max_out={3} max_in={4}".format(
+                    ds["n_nodes"], ds["n_edges"],
+                    ds["avg_out_degree_permille"],
+                    ds["max_out_degree"], ds["max_in_degree"],
+                )
+            )
+            host_edges = links.select(
+                F.parse_url(F.col("from_url"), F.lit("HOST"))
+                .alias("src_host"),
+                F.parse_url(F.col("to_url"), F.lit("HOST"))
+                .alias("dst_host"),
+            )
+            dg = domain_graph(host_edges)
+            dg_dir = _os.path.join(args.graph_report, "domain_graph")
+            dg.write.mode("overwrite").parquet(dg_dir)
+            print(f"wrote PLD domain graph -> {dg_dir}")
+
+            seed_urls = None
+            if args.seed_table:
+                seed_urls = _read(spark, args.seed_table).select(
+                    F.col("url")
+                )
+            elif args.seeds:
+                seed_urls = spark.createDataFrame(
+                    [(u,) for u in args.seeds], "url string"
+                )
+            if seed_urls is None:
+                print(
+                    "graph report: no seed list on a --resume run; "
+                    "skipping domain_trust (re-pass --seeds/--seed-table "
+                    "to compute TrustRank)"
+                )
+            else:
+                host = F.parse_url(F.col("url"), F.lit("HOST"))
+                trusted = seed_urls.select(
+                    F.coalesce(registrable_domain(host), F.lower(host))
+                    .alias("pld")
+                ).distinct()
+                trust = spam_mass(
+                    dg.select("src_pld", "dst_pld"),
+                    trusted,
+                    iterations=3,
+                    src="src_pld",
+                    dst="dst_pld",
+                )
+                tr_dir = _os.path.join(args.graph_report, "domain_trust")
+                trust.write.mode("overwrite").parquet(tr_dir)
+                worst = (
+                    trust.orderBy(F.col("spam_mass").desc(),
+                                  F.col("pagerank").desc())
+                    .limit(5)
+                    .collect()
+                )
+                print(f"wrote domain TrustRank/spam-mass -> {tr_dir}")
+                for r in worst:
+                    print(
+                        f"  demote candidate: {r['node_id']} "
+                        f"pr={r['pagerank']:.4f} mass={r['spam_mass']:.3f}"
+                    )
 
     if args.publish_iceberg:
         # the tool-driven Iceberg path (catalog-detected): checkpoint
