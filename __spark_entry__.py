@@ -935,6 +935,31 @@ def q_dedup_lines(spark, sf_dir):
     return remove_duplicate_lines(lined, min_docs=2)
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-granular boilerplate pass (RefinedWeb dedups
+    paragraphs as well as lines): the same remove_duplicate_lines
+    operator with delim='\\n\\n', so the dedup unit is a TWO-LINE
+    paragraph (6 words with an internal newline) — repeated banner
+    paragraphs die across docs while single shared lines inside
+    otherwise-unique paragraphs survive. Oracle replays the paragraph
+    construction and the full drop/rebuild chain."""
+    from ieps_crawler_spark.operators.dedup import remove_duplicate_lines
+
+    ws = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(6.0)).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, (i - 1) * 6 + 1, F.lit(3)), " "),
+            F.lit("\n"),
+            F.array_join(F.slice(ws, (i - 1) * 6 + 4, F.lit(3)), " "),
+        ),
+    )
+    lined = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return remove_duplicate_lines(lined, delim="\n\n", min_docs=2)
+
+
 # ----------------------------------------------------------- similarity ops
 
 def q_similarity_bruteforce_topk(spark, sf_dir):
@@ -2173,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_normalize_dedup": q_pipeline_normalize_dedup,
         "graph_domain_collapse": q_graph_domain_collapse,
         "text_normalize": q_text_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "text_unigram_stats": q_text_unigram_stats,
         "text_distinctive_terms": q_text_distinctive_terms,
         "pipeline_corpus_select": q_pipeline_corpus_select,
@@ -4813,6 +4839,48 @@ def oracle_sql() -> dict[str, str]:
         # sha256() is lowercase hex in DuckDB -> upper() to match Spark's
         # upper(sha2(..., 256)); octet_length::BIGINT twins length(binary)
         "crawl_pld_extract": _pld_oracle_sql(),
+        "dedup_paragraphs": r"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            ix AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, CAST(ceil(len(ws)/6.0) AS BIGINT) + 1))
+                       AS i
+              FROM w),
+            ch AS (
+              SELECT doc_id, i AS pidx,
+                     -- coalesce: list_slice(begin > end) yields NULL in
+                     -- DuckDB where Spark's slice yields []; the tail
+                     -- paragraph of a len%6<=3 doc has an empty second
+                     -- half, not a NULL paragraph
+                     coalesce(array_to_string(list_slice(ws, (i-1)*6+1,
+                                     least((i-1)*6+3, len(ws))), ' '), '')
+                     || chr(10) ||
+                     coalesce(array_to_string(list_slice(ws, (i-1)*6+4,
+                                     least((i-1)*6+6, len(ws))), ' '), '')
+                       AS para
+              FROM ix),
+            over_t AS (
+              SELECT md5(trim(lower(para))) AS h FROM ch
+              WHERE length(trim(para)) > 0
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT doc_id, pidx, para FROM ch
+              WHERE length(trim(para)) = 0
+                 OR md5(trim(lower(para))) NOT IN (SELECT h FROM over_t)),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pidx)
+                       AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines
+                    FROM ch GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines,
+                   CAST(t.n_lines - coalesce(a.n_kept, 0) AS INTEGER)
+                     AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
         "graph_domain_collapse": _domain_collapse_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
         "pipeline_normalize_dedup": _normalize_dedup_oracle_sql(),
