@@ -680,6 +680,33 @@ def domain_graph(
     )
 
 
+def seed_plds(
+    urls: DataFrame,
+    url_col: str = "url",
+    suffixes=None,
+) -> DataFrame:
+    """Registrable-domain trust keys for a seed-URL list — the SAME
+    coalesce(registrable_domain(host), lower(host)) keying domain_graph
+    uses for its nodes, single-sourced so a trust set derived here is
+    guaranteed to join the domain graph's node space (a hand-spelled
+    variant that drifts — e.g. a different suffixes list — would
+    silently stop joining and push every domain to spam_mass 1.0).
+    URLs whose host does not parse are dropped; returns a 1-column
+    (pld) DataFrame ready for trustrank()/spam_mass()."""
+    from ..functions.domains import PUBLIC_SUFFIXES, registrable_domain
+
+    sfx = tuple(suffixes) if suffixes is not None else PUBLIC_SUFFIXES
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return (
+        urls.select(
+            F.coalesce(registrable_domain(host, sfx), F.lower(host))
+            .alias("pld")
+        )
+        .filter(F.col("pld").isNotNull())
+        .distinct()
+    )
+
+
 def spam_mass(
     edges: DataFrame,
     trusted: DataFrame,

@@ -173,9 +173,15 @@ def test_trust_priority_feedback_crawl_same_closure(spark, tmp_path):
     scheduling, never coverage — identical seen set and per-URL
     classification."""
     from ieps_crawler_spark.corpus import generate_corpus
-    from ieps_crawler_spark.functions.domains import registrable_domain
-    from ieps_crawler_spark.operators.graph import domain_graph, trustrank
+    from ieps_crawler_spark.operators.graph import (
+        domain_graph,
+        seed_plds,
+        trustrank,
+    )
     from ieps_crawler_spark.plans.crawl import Crawler
+    from ieps_crawler_spark.functions.domains import (
+        registrable_domain as _rd,
+    )
 
     corpus = generate_corpus(100, seed=13)
     pages = spark.createDataFrame(corpus["pages"])
@@ -199,15 +205,8 @@ def test_trust_priority_feedback_crawl_same_closure(spark, tmp_path):
         F.parse_url(F.col("to_url"), F.lit("HOST")).alias("dst_host"),
     )
     dg = domain_graph(host_edges)
-    trusted = (
+    trusted = seed_plds(
         spark.createDataFrame([(u,) for u in corpus["seeds"]], "url string")
-        .select(
-            F.coalesce(
-                registrable_domain(F.parse_url(F.col("url"), F.lit("HOST"))),
-                F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
-            ).alias("pld")
-        )
-        .distinct()
     )
     tr = trustrank(
         dg.select("src_pld", "dst_pld"),
@@ -225,7 +224,7 @@ def test_trust_priority_feedback_crawl_same_closure(spark, tmp_path):
         sites.select("host")
         .withColumn(
             "pld",
-            F.coalesce(registrable_domain("host"), F.lower(F.col("host"))),
+            F.coalesce(_rd("host"), F.lower(F.col("host"))),
         )
         .join(tr.withColumnRenamed("node_id", "pld"), "pld", "left")
         .select(
@@ -258,3 +257,23 @@ def test_null_trusted_ids_are_dropped_not_diluting(spark):
     sm_c = {r.node_id: r.spam_mass for r in spam_mass(e, t_clean, 3).collect()}
     sm_n = {r.node_id: r.spam_mass for r in spam_mass(e, t_null, 3).collect()}
     assert sm_c == sm_n and None not in sm_n
+
+
+def test_seed_plds_keys_join_domain_graph_nodes(spark):
+    from ieps_crawler_spark.operators.graph import seed_plds
+
+    urls = spark.createDataFrame(
+        [("http://www.a.gov.si/x",),   # -> a.gov.si
+         ("http://intranet/y",),       # single label -> lower(host)
+         ("schemeless.gov.si",),       # no scheme -> host unparseable
+         (None,)],
+        "url string",
+    )
+    got = {r.pld for r in seed_plds(urls).collect()}
+    assert got == {"a.gov.si", "intranet"}
+    # all-unparseable seed list -> EMPTY trust set (the tool guards
+    # this case rather than emitting an all-spam report)
+    empty = seed_plds(
+        spark.createDataFrame([("no-scheme.si",)], "url string")
+    )
+    assert empty.isEmpty()

@@ -127,10 +127,10 @@ def main(argv: list[str] | None = None) -> None:
 
         from pyspark.sql import functions as F
 
-        from ieps_crawler_spark.functions.domains import registrable_domain
         from ieps_crawler_spark.operators.graph import (
             degree_stats,
             domain_graph,
+            seed_plds,
             spam_mass,
         )
 
@@ -154,6 +154,9 @@ def main(argv: list[str] | None = None) -> None:
                 .alias("dst_host"),
             )
             dg = domain_graph(host_edges)
+            # two consumers (parquet write + the trust pass) — cache so
+            # the links scan + PLD aggregate runs once
+            dg.cache()
             dg_dir = _os.path.join(args.graph_report, "domain_graph")
             dg.write.mode("overwrite").parquet(dg_dir)
             print(f"wrote PLD domain graph -> {dg_dir}")
@@ -167,18 +170,23 @@ def main(argv: list[str] | None = None) -> None:
                 seed_urls = spark.createDataFrame(
                     [(u,) for u in args.seeds], "url string"
                 )
+            trusted = (
+                seed_plds(seed_urls) if seed_urls is not None else None
+            )
             if seed_urls is None:
                 print(
                     "graph report: no seed list on a --resume run; "
                     "skipping domain_trust (re-pass --seeds/--seed-table "
                     "to compute TrustRank)"
                 )
+            elif trusted.isEmpty():
+                print(
+                    "graph report: no seed URL yielded a parseable host "
+                    "(schemeless seeds?); skipping domain_trust — a "
+                    "report with an empty trust set would mark EVERY "
+                    "domain spam_mass=1.0"
+                )
             else:
-                host = F.parse_url(F.col("url"), F.lit("HOST"))
-                trusted = seed_urls.select(
-                    F.coalesce(registrable_domain(host), F.lower(host))
-                    .alias("pld")
-                ).distinct()
                 trust = spam_mass(
                     dg.select("src_pld", "dst_pld"),
                     trusted,
@@ -188,9 +196,15 @@ def main(argv: list[str] | None = None) -> None:
                 )
                 tr_dir = _os.path.join(args.graph_report, "domain_trust")
                 trust.write.mode("overwrite").parquet(tr_dir)
+                # demotion rule = high PR x high mass (spam_mass
+                # docstring): rank by the product, not mass-then-PR —
+                # lexicographic order would crowd the list with
+                # rank-floor leaf domains at mass exactly 1.0
                 worst = (
-                    trust.orderBy(F.col("spam_mass").desc(),
-                                  F.col("pagerank").desc())
+                    trust.orderBy(
+                        (F.col("pagerank") * F.col("spam_mass")).desc(),
+                        F.col("node_id").asc(),
+                    )
                     .limit(5)
                     .collect()
                 )
@@ -200,6 +214,7 @@ def main(argv: list[str] | None = None) -> None:
                         f"  demote candidate: {r['node_id']} "
                         f"pr={r['pagerank']:.4f} mass={r['spam_mass']:.3f}"
                     )
+            dg.unpersist()
 
     if args.publish_iceberg:
         # the tool-driven Iceberg path (catalog-detected): checkpoint
