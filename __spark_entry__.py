@@ -4179,13 +4179,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c AS (
               SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-                     coalesce(sum(toks) OVER (
+                     CAST(coalesce(sum(toks) OVER (
                        PARTITION BY doc_id % 8 ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS cumb
+                       0) AS BIGINT) AS cumb
               FROM t)
             SELECT doc_id, shard,
-                   CAST(floor(cumb / 512.0) AS BIGINT) AS seq_id,
+                   cumb // 512 AS seq_id,
                    cumb % 512 AS seq_offset
             FROM c
         """,
@@ -4791,9 +4791,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
-              SELECT *, sum(new_sess) OVER (
+              SELECT *, CAST(sum(new_sess) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS sess_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
               FROM gapped)
             SELECT user_id, sess_id,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

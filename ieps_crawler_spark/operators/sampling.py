@@ -127,11 +127,16 @@ def pack_sequences(
     cum_before = F.coalesce(
         F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long")
     )
+    # seq_id via integer `div`, not float floor-division: exact for every
+    # budget (a non-power-of-two budget with cumulative sums near 2^53
+    # could floor-drift under double rounding).
     return out.select(
+        id_col, F.col("_shard").alias("shard"), cum_before.alias("_cumb")
+    ).select(
         id_col,
-        F.col("_shard").alias("shard"),
-        F.floor(cum_before / F.lit(float(budget))).cast("long").alias("seq_id"),
-        F.pmod(cum_before, F.lit(budget)).alias("offset"),
+        "shard",
+        F.expr(f"_cumb div {int(budget)}").alias("seq_id"),
+        F.pmod(F.col("_cumb"), F.lit(budget)).alias("offset"),
     )
 
 

@@ -84,6 +84,46 @@ def test_pack_sequences_layout(spark):
     }
 
 
+def test_pack_sequences_non_power_of_two_budget(spark):
+    """budget=1000 (not a power of two): seq_id must come from integer
+    division — a float floor path can drift on large cumulative sums.
+    Cross-check every row against a Python exact-integer replay."""
+    from ieps_crawler_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 7919) % 331 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens int")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["offset"])
+        for r in pack_sequences(df, budget=1000, shards=4).collect()
+    }
+    cum = {}
+    for i, t in rows:  # id order == enumeration order here
+        sh = i % 4
+        c = cum.get(sh, 0)
+        assert got[i] == (sh, c // 1000, c % 1000), (i, got[i], c)
+        cum[sh] = c + t
+
+
+def test_pack_sequences_huge_cumsum_exact(spark):
+    """Near-2^53 cumulative sums: double floor-division would round;
+    integer `div` must not.  7 * (2^53 // 7 // 1000 * 1000) sits where
+    float64 loses unit precision."""
+    from ieps_crawler_spark.operators.sampling import pack_sequences
+
+    big = (1 << 53) + 4444  # not representable stepping by 1.0 in f64
+    rows = [(0, big), (1, 999), (2, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["offset"])
+        for r in pack_sequences(df, budget=1000, shards=1).collect()
+    }
+    c1 = big
+    c2 = big + 999
+    assert got[0] == (0, 0)
+    assert got[1] == (c1 // 1000, c1 % 1000)
+    assert got[2] == (c2 // 1000, c2 % 1000)
+
+
 def test_pack_sequences_partition_independent(spark, docs):
     from ieps_crawler_spark.operators.sampling import pack_sequences
 

@@ -41,22 +41,68 @@ def norm_rows(cols, rows):
     return [cols[i] for i in idx], out
 
 
-def type_sig(cols, rows):
-    """Per-column Python type of the first non-None value, sorted by
-    column name.  The driver's value hash is type/format-sensitive
-    (r2 post-mortem: DuckDB sum(BIGINT) -> HUGEINT/Decimal hashed
-    differently from Spark's bigint despite equal values), so the local
-    gate must flag int-vs-Decimal-vs-float drift, not just str() drift."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    sig = {}
-    for i in idx:
-        t = None
-        for r in rows:
-            if r[i] is not None:
-                t = type(r[i]).__name__
-                break
-        sig[cols[i]] = t
-    return sig
+_LIST_RE = __import__("re").compile(
+    r"^(?:array|list|large_list|fixed_size_list)<(?:item:|element:)?\s*(.*?)(?:\[\d+\])?>$"
+)
+_INT_RE = __import__("re").compile(
+    r"^(u?int\d*|tinyint|smallint|bigint|hugeint|long|short|byte)$"
+)
+_FLOAT_RE = __import__("re").compile(r"^(float\d*|double|halffloat|real)$")
+
+
+def type_family(t: str) -> str:
+    """Collapse an engine type name (Spark simpleString or Arrow
+    str(type)) to a comparable family.  int and decimal are DISTINCT
+    families on purpose: DuckDB window `sum()` over INTEGER/BIGINT
+    yields decimal128(38,0) at the Arrow layer even though fetchall()
+    converts it to Python int — the exact drift the driver's
+    type-sensitive value hash sees and a fetchall-based gate is
+    structurally blind to (r2 `crawl_anchor_stats`, r3
+    `events_sessionize`/`pipeline_pack_sequences` post-mortems)."""
+    t = t.lower().strip()
+    m = _LIST_RE.match(t)
+    if m:
+        return f"list<{type_family(m.group(1))}>"
+    if _INT_RE.match(t):
+        return "int"
+    if _FLOAT_RE.match(t):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("timestamp", "date", "time")):
+        return "datetime"
+    if t in ("string", "large_string", "utf8", "large_utf8", "varchar"):
+        return "string"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t in ("binary", "large_binary", "blob"):
+        return "binary"
+    return t
+
+
+def arrow_type_sig(schema) -> dict:
+    """pyarrow.Schema -> {col: family}."""
+    return {f.name: type_family(str(f.type)) for f in schema}
+
+
+def spark_type_sig(sdf) -> dict:
+    """Spark DataFrame -> {col: family}."""
+    return {
+        f.name: type_family(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+
+
+def type_sig_diff(ssig: dict, dsig: dict) -> dict:
+    """Columns whose Spark-vs-oracle Arrow type families differ.
+    All-NULL Arrow columns type as 'null' — not comparable, skipped."""
+    return {
+        c: (ssig[c], dsig[c])
+        for c in ssig
+        if c in dsig
+        and "null" not in (ssig[c], dsig[c])
+        and ssig[c] != dsig[c]
+    }
 
 
 def main():
@@ -96,27 +142,22 @@ def main():
                 print(f"      WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # .arrow() (not fetchall) so the oracle's TRUE column types
+            # are visible: fetchall converts decimal128(38,0) window
+            # sums to plain Python int, hiding the int-vs-decimal drift
+            # the driver hash is sensitive to.
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = list(tbl.schema.names)
+            dsig = arrow_type_sig(tbl.schema)
+            drows = list(zip(*(col.to_pylist() for col in tbl.columns))) \
+                if tbl.num_rows else []
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
             continue
         sc, sn = norm_rows(scols, srows)
         dc, dn = norm_rows(dcols, drows)
-        ssig, dsig = type_sig(scols, srows), type_sig(dcols, drows)
-        tdiff = {
-            c: (ssig.get(c), dsig.get(c))
-            for c in ssig
-            if c in dsig
-            and ssig[c] is not None
-            and dsig[c] is not None
-            and ssig[c] != dsig[c]
-            # datetime/date naming drift between engines is benign;
-            # int-vs-Decimal-vs-float is the driver-hash killer.
-            and {ssig[c], dsig[c]} & {"int", "float", "Decimal"}
-        }
+        tdiff = type_sig_diff(spark_type_sig(sdf), dsig)
         if tdiff:
             failures.append(name)
             print(f"FAIL  {name}: value TYPES differ (driver-hash risk): {tdiff}")
