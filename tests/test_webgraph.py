@@ -277,3 +277,40 @@ def test_seed_plds_keys_join_domain_graph_nodes(spark):
         spark.createDataFrame([("no-scheme.si",)], "url string")
     )
     assert empty.isEmpty()
+
+
+def test_empty_trusted_set_raises(spark):
+    """ADVICE r3: an empty (or all-NULL) trust set must raise, not
+    silently return all-zero trustrank / all-1.0 spam mass."""
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    empty = spark.createDataFrame([], "node_id long")
+    nulls = spark.createDataFrame([(None,), (None,)], "node_id long")
+    for t in (empty, nulls):
+        with pytest.raises(ValueError, match="trusted set is empty"):
+            trustrank(e, t, 3)
+        with pytest.raises(ValueError, match="trusted set is empty"):
+            spam_mass(e, t, 3)
+
+
+def test_precomputed_nodes_param_value_identical(spark):
+    """Passing the endpoint-distinct via nodes= (the VERDICT r3 #7
+    query-side fold) must not change a single rank value."""
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (9, 1)])
+    t = spark.createDataFrame([(1,), (4,)], "node_id long")
+    nodes = (
+        e.select(F.col("from_id").alias("node_id"))
+        .unionByName(e.select(F.col("to_id").alias("node_id")))
+        .unionByName(t)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = sorted(map(tuple, trustrank(e, t, 3).collect()))
+    b = sorted(map(tuple, trustrank(e, t, 3, nodes=nodes).collect()))
+    assert a == b
+    c = sorted(map(tuple, spam_mass(e, t, 3).collect()))
+    d = sorted(map(tuple, spam_mass(e, t, 3, nodes=nodes).collect()))
+    assert c == d
