@@ -2208,11 +2208,64 @@ def q_stats_length_quantiles(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering contract: the round driver records correctness for the
-        # FIRST 50 entries only (measured in r2). Slots 1-50 hold every
-        # query not yet driver-green (r2's unchecked tail, the fixed
-        # anchor-stats oracle, round-3 additions) plus a refill of core
-        # ops; the remainder were all driver-green in earlier rounds.
+        # Ordering contract (enforced by tools/window_rotation.py): the
+        # round driver records correctness for the FIRST 50 entries
+        # only. Slots 1-50 = every query with no r3 driver-green row —
+        # the two r3 hash-reds (now-cast oracles) first, then the new /
+        # r4-consolidated queries, then the 44 queries outside the r3
+        # window, then graph_trustrank (r3-green but operator+query
+        # changed this round). graph_spam_mass (same change, value-
+        # identity pytest-proven) sits at 51; everything after is
+        # r3-driver-green and unchanged.
+        "events_sessionize": q_events_sessionize,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "similarity_kmeans_fit": q_similarity_kmeans_fit,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "crawl_canonicalize": q_crawl_canonicalize,
+        "crawl_host_extract": q_crawl_host_extract,
+        "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_budget_topk": q_crawl_budget_topk,
+        "crawl_fetch_classify": q_crawl_fetch_classify,
+        "crawl_seen_antijoin": q_crawl_seen_antijoin,
+        "crawl_hash_dup_mark": q_crawl_hash_dup_mark,
+        "crawl_extract_links": q_crawl_extract_links,
+        "crawl_sitemap_parse": q_crawl_sitemap_parse,
+        "crawl_link_graph": q_crawl_link_graph,
+        "crawl_assets": q_crawl_assets,
+        "source_warc_scan": q_source_warc_scan,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
+        "text_token_count": q_text_token_count,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "crawl_robots_delay": q_crawl_robots_delay,
+        "crawl_priority_topk": q_crawl_priority_topk,
+        "crawl_wave_cap": q_crawl_wave_cap,
+        "crawl_host_rank": q_crawl_host_rank,
+        "crawl_wave_metrics": q_crawl_wave_metrics,
+        "crawl_set_split": q_crawl_set_split,
+        "crawl_point_lookup": q_crawl_point_lookup,
+        "crawl_upsert_latest": q_crawl_upsert_latest,
+        "crawl_load_analytics": q_crawl_load_analytics,
+        "crawl_adaptive_delay": q_crawl_adaptive_delay,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "crawl_refresh_topk": q_crawl_refresh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "dedup_lines": q_dedup_lines,
+        "dedup_remove_spans": q_dedup_remove_spans,
+        "dedup_containment": q_dedup_containment,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "multimodal_embed_topk": q_multimodal_embed_topk,
+        "text_lang_quality": q_text_lang_quality,
+        "text_repetition": q_text_repetition,
+        "text_redact_pii": q_text_redact_pii,
+        "text_top_ngrams": q_text_top_ngrams,
         "graph_trustrank": q_graph_trustrank,
         "graph_spam_mass": q_graph_spam_mass,
         "pipeline_normalize_dedup": q_pipeline_normalize_dedup,
@@ -2222,7 +2275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_stats": q_text_unigram_stats,
         "text_distinctive_terms": q_text_distinctive_terms,
         "pipeline_corpus_select": q_pipeline_corpus_select,
-        "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_decontaminate": q_pipeline_decontaminate,
         "pipeline_source_stats": q_pipeline_source_stats,
         "pipeline_mix_sources": q_pipeline_mix_sources,
@@ -2239,7 +2291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
         "events_window_agg": q_events_window_agg,
-        "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "crawl_e2e": q_crawl_e2e,
@@ -2263,53 +2314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_param_noise": q_crawl_param_noise,
         "crawl_strip_params": q_crawl_strip_params,
         "dedup_semantic": q_dedup_semantic,
-        "crawl_canonicalize": q_crawl_canonicalize,
-        "crawl_host_extract": q_crawl_host_extract,
-        "crawl_robots_gate": q_crawl_robots_gate,
-        "crawl_budget_topk": q_crawl_budget_topk,
-        "crawl_fetch_classify": q_crawl_fetch_classify,
-        "crawl_seen_antijoin": q_crawl_seen_antijoin,
-        "crawl_hash_dup_mark": q_crawl_hash_dup_mark,
-        "crawl_extract_links": q_crawl_extract_links,
-        "crawl_sitemap_parse": q_crawl_sitemap_parse,
-        "crawl_link_graph": q_crawl_link_graph,
-        "crawl_assets": q_crawl_assets,
-        "source_warc_scan": q_source_warc_scan,
-        "tpch_q1_agg": q_tpch_q1_agg,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "similarity_bruteforce_topk": q_similarity_bruteforce_topk,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "text_token_count": q_text_token_count,
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "crawl_robots_delay": q_crawl_robots_delay,
-        "crawl_priority_topk": q_crawl_priority_topk,
-        "crawl_wave_cap": q_crawl_wave_cap,
-        "crawl_host_rank": q_crawl_host_rank,
-        "crawl_wave_metrics": q_crawl_wave_metrics,
-        "crawl_set_split": q_crawl_set_split,
-        "crawl_point_lookup": q_crawl_point_lookup,
-        "crawl_upsert_latest": q_crawl_upsert_latest,
-        "crawl_load_analytics": q_crawl_load_analytics,
-        "crawl_adaptive_delay": q_crawl_adaptive_delay,
-        "crawl_trap_hosts": q_crawl_trap_hosts,
-        "crawl_refresh_topk": q_crawl_refresh_topk,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_cluster_canonical": q_dedup_cluster_canonical,
-        "dedup_lines": q_dedup_lines,
-        "dedup_remove_spans": q_dedup_remove_spans,
-        "dedup_containment": q_dedup_containment,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_kmeans_fit": q_similarity_kmeans_fit,
-        "multimodal_embed_topk": q_multimodal_embed_topk,
-        "text_lang_quality": q_text_lang_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_redact_pii": q_text_redact_pii,
-        "text_top_ngrams": q_text_top_ngrams,
     }
 
 

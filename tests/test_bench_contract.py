@@ -42,3 +42,29 @@ def test_final_line_keeps_all_queries_when_small():
     # headline triple is coherent: throughput metric carries a
     # throughput value (0 when no crawl config ran)
     assert out["unit"] == "urls/sec" and out["value"] == 0.0
+
+
+def test_window_rotation_discipline():
+    """No query may go >MAX_STALE rounds without a driver correctness
+    row, and last round's reds must sit inside the driver window
+    (VERDICT r3 next-round #3, enforced mechanically)."""
+    from tools.window_rotation import check
+
+    assert check() == []
+
+
+def test_window_rotation_detects_buried_red(tmp_path):
+    """Synthetic repo: a red query outside the window must be flagged."""
+    import json as _json
+
+    from tools.window_rotation import check
+
+    entry = tmp_path / "__spark_entry__.py"
+    qdict = "".join(f'        "q{i}": q_x,\n' for i in range(3))
+    entry.write_text(f"def queries():\n    return {{\n{qdict}    }}\n")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({
+        "q2": {"rows_match": True, "schema_match": True,
+               "hash_match": False, "err": None},
+    }))
+    problems = check(repo=str(tmp_path), window=2, stale=2)
+    assert any("q2" in p and "RED" in p for p in problems)
