@@ -62,13 +62,85 @@ def corpus_fetcher(pages: DataFrame, broadcast_batch: bool = False):
 def _default_fetch_fn(url: str) -> Optional[bytes]:
     raise NotImplementedError(
         "http_fetcher needs an injected fetch_fn(url) -> bytes | None; "
-        "this sandbox has no network. In production inject e.g. "
-        "requests.get(url, timeout=...).content behind your rate limiter."
+        "inject UrllibFetchFn(...) for a real-socket stdlib client, or "
+        "e.g. requests/playwright behind your own rate limiter."
     )
+
+
+class LocalhostRewrite:
+    """URL rewrite for in-process test servers: the original url is
+    percent-encoded into the path of http://127.0.0.1:{port}/ so a
+    fixture server can look it up verbatim. Plain-attribute class =
+    picklable, so it ships to executor Python workers."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        self.port = port
+        self.host = host
+
+    def __call__(self, url: str) -> str:
+        from urllib.parse import quote
+
+        return f"http://{self.host}:{self.port}/{quote(url, safe='')}"
+
+
+class UrllibFetchFn:
+    """Real-socket fetch_fn for http_fetcher — stdlib urllib, no
+    third-party deps, picklable (plain attributes only).
+
+    Status semantics follow the reference's browser fetch
+    (ref:utils/HeadlessBrowser.scala:47-105): only a 200 with a body
+    within ``max_bytes`` yields bytes; any non-200 status, redirect
+    loop, connection error, timeout or oversize body maps to None —
+    the engine's miss path, which page-state dispatch classifies as
+    404/INVALID exactly like a corpus-join miss (plans/wave.py §4).
+    Redirects are followed by urllib's default opener up to its hop
+    limit, matching the browser's implicit redirect-following; the
+    crawl-side redirect *analytics* live in operators/redirects.py.
+
+    ``rewrite`` maps the canonical url to the wire target — identity in
+    production, LocalhostRewrite in the in-process e2e test
+    (tests/test_fetcher_localhost.py drives this class against a real
+    http.server over sockets and proves the crawl byte-identical to
+    the corpus join)."""
+
+    def __init__(
+        self,
+        timeout: float = 10.0,
+        max_bytes: int = 10_000_000,
+        rewrite: Optional[Callable[[str], str]] = None,
+        user_agent: str = "ieps-crawler-spark/0.1",
+    ):
+        self.timeout = timeout
+        self.max_bytes = max_bytes
+        self.rewrite = rewrite
+        self.user_agent = user_agent
+
+    def __call__(self, url: str) -> Optional[bytes]:
+        import urllib.error
+        import urllib.request
+
+        target = self.rewrite(url) if self.rewrite is not None else url
+        req = urllib.request.Request(
+            target, headers={"User-Agent": self.user_agent}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                if getattr(r, "status", 200) != 200:
+                    return None
+                body = r.read(self.max_bytes + 1)
+        except (urllib.error.URLError, OSError, ValueError):
+            # HTTPError (non-2xx) is a URLError subclass; timeouts
+            # surface as URLError(socket.timeout) or raw OSError
+            return None
+        if len(body) > self.max_bytes:
+            return None
+        return bytes(body)
 
 
 def http_fetcher(
     fetch_fn: Callable[[str], Optional[bytes]] | None = None,
+    honor_delays: bool = False,
+    max_sleep_s: float = 30.0,
 ):
     """Production fetch stage: Arrow mapInPandas over the batch.
 
@@ -88,6 +160,16 @@ def http_fetcher(
     limiting — the corpus twin ignores the clock because stored pages
     need none.
 
+    ``honor_delays=True`` turns the schedule into real rate limiting:
+    between consecutive fetches of the SAME host the task sleeps the
+    sched_ts delta (the politeness delay_ms spacing politeness.py
+    encoded), capped at ``max_sleep_s``. Deltas, not absolute times —
+    sched_ts runs on the engine's simulated WAVE_EPOCH clock, so only
+    the spacing is meaningful on a wall clock. Per-host last-seen state
+    lives in the task generator and carries across Arrow chunks, which
+    iterate in partition order (the sortWithinPartitions above is what
+    makes that a schedule-order guarantee).
+
     ``fetch_fn`` must be picklable (it ships to executors). None = the
     documented NotImplementedError stub."""
     fn = fetch_fn or _default_fetch_fn
@@ -101,9 +183,30 @@ def http_fetcher(
         )
 
         def run(batches: Iterator) -> Iterator:
+            import time
+
+            import pandas as pd
+
+            last: dict = {}
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf["html"] = [fn(u) for u in pdf["canon_url"]]
+                if not honor_delays:
+                    pdf["html"] = [fn(u) for u in pdf["canon_url"]]
+                    yield pdf
+                    continue
+                out = []
+                for host, sched, url in zip(
+                    pdf["host"], pdf["sched_ts"], pdf["canon_url"]
+                ):
+                    if not pd.isna(sched):
+                        prev = last.get(host)
+                        if prev is not None:
+                            dt = (sched - prev).total_seconds()
+                            if dt > 0:
+                                time.sleep(min(dt, max_sleep_s))
+                        last[host] = sched
+                    out.append(fn(url))
+                pdf["html"] = out
                 yield pdf
 
         return (
