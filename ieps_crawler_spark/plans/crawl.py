@@ -178,6 +178,22 @@ class Crawler:
         self.deltas.truncate_after(-1)
         self.store.clear()
         triggers = seed_frontier(spark, seeds)
+        # the raw seed list itself is checkpoint state (ADVICE r3): a
+        # resumed graph report derives its TrustRank trust set from the
+        # seeds, and recomputing them from whatever --seeds the resume
+        # invocation happens to pass could silently shift the trust set
+        if isinstance(seeds, DataFrame):
+            url_col = "url" if "url" in seeds.columns else seeds.columns[0]
+            raw_seeds = seeds.select(
+                F.col(url_col).cast("string").alias("url")
+            )
+        else:
+            raw_seeds = spark.createDataFrame(
+                [(str(u),) for u in seeds], "url string"
+            )
+        raw_seeds.write.mode("overwrite").parquet(
+            f"{self._dims_dir}/seed_urls"
+        )
         # seed-host dim (asset download flag, DomainWorkerActor download
         # semantics): persisted so resume sees the same gate
         triggers.select("host").distinct().write.mode("overwrite").parquet(
@@ -447,6 +463,16 @@ class Crawler:
         return merge_blooms(a, b)
 
     # --------------------------------------------------------------- readers
+    def seed_urls(self) -> DataFrame | None:
+        """The seed list this checkpoint was initialized with (url
+        rows), persisted by _init_state; None for checkpoints written
+        before the seed list became state. Resume-safe source of truth
+        for seed-derived artifacts (TrustRank trust sets)."""
+        import os
+
+        p = f"{self._dims_dir}/seed_urls"
+        return self.spark.read.parquet(p) if os.path.isdir(p) else None
+
     def results(self) -> DataFrame | None:
         return self.deltas.read_all(self.spark, "crawl_results")
 

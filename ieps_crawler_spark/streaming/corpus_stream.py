@@ -32,11 +32,17 @@ url per hash), never dropDuplicates: drop-order varies with partition
 layout across cluster sizes, and an ingest whose accepted set depends
 on parallelism cannot be replayed or audited.
 
-Delivery contract: at-least-once foreachBatch (checkpointed file-source
-offsets); a batch replayed after a crash between write and commit can
-append twice. Readers that need exactly-once group by content_hash
-(first-wins on url) — the same collapse the next batch's anti-join
-applies going forward.
+Delivery contract: effectively exactly-once (ADVICE r3). foreachBatch
+is at-least-once, so each batch writes its OWN partition directory
+(``batch_id=N``) with overwrite semantics: a batch replayed after a
+crash between write and offset-commit rewrites the same directory
+instead of appending a second copy. The replay-visibility subtlety:
+the "previously accepted" anti-join set must EXCLUDE the current
+batch's own partition — a half-written batch_id=N from the crashed
+attempt would otherwise mark its own rows as already-seen and the
+overwrite would erase them. Readers see a normal parquet table with an
+extra ``batch_id`` partition column (partition discovery), no
+group-by-content_hash collapse needed.
 
 Scale posture per batch: one Arrow NFC stage, one hash aggregate
 (struct-min), one anti-join against the accepted table (bloom-routable
@@ -125,13 +131,22 @@ def run_corpus_ingest(
     append the never-seen (by normalized-content hash) documents to
     ``corpus_dir``, then stop. Re-running after new files land
     processes ONLY the new files (checkpointed file-source offsets) and
-    appends only content absent from the accumulated corpus."""
+    appends only content absent from the accumulated corpus. Each batch
+    owns partition ``corpus_dir/batch_id=N`` (overwrite): replays after
+    a crash rewrite, never duplicate (module docstring, delivery
+    contract)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         cand = prepare_documents(batch_df, fix_mojibake=fix_mojibake)
+        sess = batch_df.sparkSession
         try:
-            accepted = batch_df.sparkSession.read.parquet(corpus_dir).select(
-                "content_hash"
+            # exclude THIS batch's partition: on a replay the crashed
+            # attempt's rows must not anti-join the batch against
+            # itself (they are about to be overwritten)
+            accepted = (
+                sess.read.parquet(corpus_dir)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("content_hash")
             )
         except AnalysisException:  # first batch: no corpus yet
             fresh = cand
@@ -139,7 +154,9 @@ def run_corpus_ingest(
             fresh = dedup_against_seen(
                 cand, accepted, url_col="content_hash"
             )
-        fresh.write.mode("append").parquet(corpus_dir)
+        fresh.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
 
     q = (
         document_stream(spark, docs_dir, max_files_per_trigger)

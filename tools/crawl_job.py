@@ -161,23 +161,39 @@ def main(argv: list[str] | None = None) -> None:
             dg.write.mode("overwrite").parquet(dg_dir)
             print(f"wrote PLD domain graph -> {dg_dir}")
 
-            seed_urls = None
-            if args.seed_table:
-                seed_urls = _read(spark, args.seed_table).select(
-                    F.col("url")
+            # seed source of truth (ADVICE r3): the list persisted in
+            # the checkpoint at crawl init — a resumed report can never
+            # silently derive trust from a different CLI list. CLI
+            # seeds are only a fallback for pre-persistence checkpoints.
+            seed_urls = crawler.seed_urls()
+            seed_src = "checkpoint-persisted seed list"
+            if seed_urls is None:
+                if args.seed_table:
+                    seed_urls = _read(spark, args.seed_table).select(
+                        F.col("url")
+                    )
+                    seed_src = f"--seed-table {args.seed_table}"
+                elif args.seeds:
+                    seed_urls = spark.createDataFrame(
+                        [(u,) for u in args.seeds], "url string"
+                    )
+                    seed_src = "--seeds argument"
+            elif args.resume and (args.seeds or args.seed_table):
+                print(
+                    "graph report: NOTE --seeds/--seed-table ignored on "
+                    "resume; trust set comes from the checkpoint's "
+                    "persisted seed list"
                 )
-            elif args.seeds:
-                seed_urls = spark.createDataFrame(
-                    [(u,) for u in args.seeds], "url string"
-                )
+            if seed_urls is not None:
+                print(f"graph report: trust seeds from {seed_src}")
             trusted = (
                 seed_plds(seed_urls) if seed_urls is not None else None
             )
             if seed_urls is None:
                 print(
-                    "graph report: no seed list on a --resume run; "
-                    "skipping domain_trust (re-pass --seeds/--seed-table "
-                    "to compute TrustRank)"
+                    "graph report: no seed list (pre-persistence "
+                    "checkpoint and no --seeds/--seed-table); skipping "
+                    "domain_trust (re-pass seeds to compute TrustRank)"
                 )
             elif trusted.isEmpty():
                 print(
