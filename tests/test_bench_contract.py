@@ -68,3 +68,16 @@ def test_window_rotation_detects_buried_red(tmp_path):
     }))
     problems = check(repo=str(tmp_path), window=2, stale=2)
     assert any("q2" in p and "RED" in p for p in problems)
+
+
+def test_bench_compare_normalizes_by_canary():
+    """VERDICT r3 #9: per-query drift is judged AFTER dividing out box
+    speed (crawl canary), so a uniformly slow VM flags nothing while a
+    genuinely 6x query still reds."""
+    from tools.bench_compare import compare
+
+    base = {"queries": {"crawl": 80.0, "a": 4.0, "b": 2.0, "c": 0.1}}
+    new = {"queries": {"crawl": 160.0, "a": 8.0, "b": 24.0, "c": 0.2,
+                       "d": 1.0}}
+    rows = {r[0]: r[1] for r in compare(new, base)}
+    assert rows == {"a": "ok", "b": "regressed", "c": "fast", "d": "new"}
