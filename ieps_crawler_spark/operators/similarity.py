@@ -484,6 +484,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     centroid_ids: list | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF: seeded-sample centroids, corpus → nearest list, query probes
     its n_probe nearest lists. Centroid fit is one small driver-side
@@ -493,7 +494,19 @@ def ivf_topk(
     corpus rows with these ids (list j = position in the list), no k-means
     fit. The whole pipeline is then pure DataFrame ops (broadcast centroid
     join + min-struct argmax, zero driver materialization) and exactly
-    SQL-expressible, which is how the DuckDB oracle verifies it."""
+    SQL-expressible, which is how the DuckDB oracle verifies it.
+
+    ``centroids``: learned-codebook mode — a (j int, cv array<double>)
+    frame, e.g. kmeans_fit's output; the fully-distributed fit path
+    (no driver-side numpy sample at all). Mutually exclusive with
+    ``centroid_ids``."""
+    if centroid_ids is not None and centroids is not None:
+        raise ValueError("pass centroid_ids or centroids, not both")
+    if centroids is not None:
+        return _ivf_with_cents(
+            corpus, queries, centroids, k, n_probe, id_col, vec_col,
+            query_id_col,
+        )
     if centroid_ids is not None:
         cents = codebook_from_ids(corpus, centroid_ids, id_col, vec_col)
         return _ivf_with_cents(

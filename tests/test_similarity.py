@@ -250,9 +250,16 @@ def test_kmeans_codebook_plugs_into_semantic_dedup_and_ivf(emb, queries):
     kept = sd.filter("is_kept").count()
     assert 0 < kept <= n
 
-    topk = _ivf_with_cents(
-        emb, queries, cents, k=K, n_probe=3,
-        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
-    )
+    from ieps_crawler_spark.operators.similarity import ivf_topk
+
+    topk = ivf_topk(emb, queries, k=K, n_probe=3, centroids=cents)
     got = _by_query(topk.collect())
     assert got and all(len(v) <= K for v in got.values())
+    # same codebook through the private path — identical result
+    direct = _by_query(_ivf_with_cents(
+        emb, queries, cents, k=K, n_probe=3,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    ).collect())
+    assert got == direct
+    with pytest.raises(ValueError, match="not both"):
+        ivf_topk(emb, queries, centroid_ids=[1, 2], centroids=cents)
