@@ -591,6 +591,16 @@ def trustrank(
         )
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node_id"))
+        # MUST-contain guard (ADVICE r4): a caller-supplied universe
+        # missing a trusted id silently breaks the teleport sum (wrong
+        # ranks, no error). One small anti-join on the already-
+        # materialized frames catches the likely misuse — passing
+        # endpoint-distinct nodes without unioning the trust set.
+        if t_nodes.join(nodes, "node_id", "left_anti").limit(1).count():
+            raise ValueError(
+                "trustrank: nodes= universe is missing trusted ids — "
+                "it must contain every edge endpoint AND trusted id"
+            )
     # 1-row aggregate pivot: |T| joins in as a broadcast cross, the
     # sanctioned bounded-side nested-loop pattern (plans/audit.py).
     n_t = t_nodes.agg(F.count(F.lit(1)).alias("n_trusted"))
@@ -787,6 +797,13 @@ def spam_mass(
         )
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node_id"))
+        # same MUST-contain guard as trustrank (ADVICE r4): a universe
+        # missing trusted ids silently misweights the teleport vector
+        if t_nodes.join(nodes, "node_id", "left_anti").limit(1).count():
+            raise ValueError(
+                "spam_mass: nodes= universe is missing trusted ids — "
+                "it must contain every edge endpoint AND trusted id"
+            )
     flagged = nodes.join(
         t_nodes.withColumn("_t", F.lit(1)), "node_id", "left"
     )

@@ -333,10 +333,19 @@ def run_wave(
     ).drop("robots_content")
 
     # ---- 4. status + content hash (JVM-side) -----------------------------
+    # An injected http_fetcher carries the REAL wire status in
+    # fetch_status (ref:utils/HeadlessBrowser.scala:68-103 stores
+    # per-status failures); the corpus join has no such column and a
+    # miss is a 404 — identical to the legacy behavior.
+    miss_status = (
+        F.coalesce(F.col("fetch_status"), F.lit(404))
+        if "fetch_status" in fetched.columns
+        else F.lit(404)
+    )
     fetched = fetched.withColumn(
         "http_status",
         F.when(~F.col("allowed"), F.lit(None).cast("int"))
-        .when(F.col("html").isNull(), F.lit(404))
+        .when(F.col("html").isNull(), miss_status)
         .otherwise(F.lit(200)),
     ).withColumn(
         "content_hash",
@@ -450,7 +459,10 @@ def run_wave(
     staged = staged.withColumn(
         "page_type",
         F.when(~F.col("allowed"), F.lit("DISALLOWED"))
-        .when(F.col("http_status") == 404, F.lit("INVALID"))
+        # any failed fetch is INVALID, carrying its real status (404 on
+        # the corpus path; 400/500/413/... from a status-shaped fetcher
+        # — the reference's per-status INVALID breakdown)
+        .when(F.col("http_status") != 200, F.lit("INVALID"))
         .when(
             (F.col("data_type") == 0) & (F.col("_hash_seen") | (F.col("_rn") > 1)),
             F.lit("DUPLICATE"),

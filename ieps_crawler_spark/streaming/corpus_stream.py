@@ -53,9 +53,10 @@ batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..operators.normalize import normalize_text
 from ..operators.seen import dedup_against_seen
@@ -119,6 +120,16 @@ def prepare_documents(docs: DataFrame, fix_mojibake: bool = False) -> DataFrame:
     )
 
 
+def _corpus_batch_partitions(corpus_dir: str) -> list:
+    """batch_id= partition directory names under corpus_dir ([] when
+    the dir is absent — local-fs probe, same pattern as plans/crawl)."""
+    if not os.path.isdir(corpus_dir):
+        return []
+    return [
+        n for n in os.listdir(corpus_dir) if n.startswith("batch_id=")
+    ]
+
+
 def run_corpus_ingest(
     spark: SparkSession,
     docs_dir: str,
@@ -134,12 +145,40 @@ def run_corpus_ingest(
     appends only content absent from the accumulated corpus. Each batch
     owns partition ``corpus_dir/batch_id=N`` (overwrite): replays after
     a crash rewrite, never duplicate (module docstring, delivery
-    contract)."""
+    contract).
+
+    The overwrite-partition contract is scoped to SAME-CHECKPOINT
+    replays (ADVICE r4): batch ordinals restart at 0 when the
+    checkpoint is lost, and with drifted source-file composition (new
+    files landed, trigger boundaries shifted, old files retired) the
+    new batch 0 would overwrite the old ``batch_id=0`` partition with
+    DIFFERENT content — silently destroying previously accepted rows
+    whose source files are gone. So a populated corpus_dir with NO
+    streaming checkpoint refuses to start; recover by pointing the
+    re-ingest at a fresh corpus_dir and merging offline, or by
+    restoring the checkpoint."""
+    if _corpus_batch_partitions(corpus_dir) and not os.path.isdir(
+        os.path.join(ckpt_dir, "offsets")
+    ):
+        raise ValueError(
+            f"corpus_dir {corpus_dir!r} already holds batch_id= "
+            f"partitions but streaming checkpoint {ckpt_dir!r} has no "
+            "committed offsets: restarting from batch 0 would overwrite "
+            "previously accepted partitions with different content. "
+            "Restore the checkpoint, or ingest into a fresh corpus_dir "
+            "and merge."
+        )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         cand = prepare_documents(batch_df, fix_mojibake=fix_mojibake)
         sess = batch_df.sparkSession
-        try:
+        # explicit existence probe (matching plans/crawl.py's
+        # os.path.isdir pattern) instead of a broad AnalysisException
+        # catch (ADVICE r4): a corpus_dir in the legacy flat-append
+        # layout (or any other malformed state) now fails LOUDLY at the
+        # read/filter below rather than silently skipping the
+        # cross-batch anti-join and admitting duplicates.
+        if os.path.isdir(corpus_dir) and os.listdir(corpus_dir):
             # exclude THIS batch's partition: on a replay the crashed
             # attempt's rows must not anti-join the batch against
             # itself (they are about to be overwritten)
@@ -148,12 +187,11 @@ def run_corpus_ingest(
                 .filter(F.col("batch_id") != F.lit(batch_id))
                 .select("content_hash")
             )
-        except AnalysisException:  # first batch: no corpus yet
-            fresh = cand
-        else:
             fresh = dedup_against_seen(
                 cand, accepted, url_col="content_hash"
             )
+        else:  # first batch: no corpus yet
+            fresh = cand
         fresh.write.mode("overwrite").parquet(
             f"{corpus_dir}/batch_id={batch_id}"
         )

@@ -137,26 +137,34 @@ def test_one_file_per_trigger_cross_batch_nfc_dedup(spark, tmp_path):
 
 
 def test_replayed_batch_is_idempotent(spark, tmp_path):
-    """ADVICE r3: a batch replayed after a crash between the corpus
-    write and the offset commit must not duplicate rows. Simulated by
-    wiping the checkpoint (offsets lost => full replay with the same
-    batch ids) and re-running over the same corpus dir: the batch_id=N
-    partition is overwritten in place, byte-stable."""
+    """ADVICE r3+r4: a batch replayed after a crash between the corpus
+    write and the offset commit must not duplicate rows. Faithful
+    simulation: SAME checkpoint, with the batch's commit marker removed
+    (exactly the crash window) — the source replays batch 0 under the
+    same batch_id and the batch_id=0 partition is overwritten in
+    place, byte-stable."""
     docs_dir = str(tmp_path / "feed")
     corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck1")
 
     _write_jsonl(
         os.path.join(docs_dir, "a.jsonl"),
         _docs(5, "a", lambda i: f"doc number {i}"),
     )
-    run_corpus_ingest(spark, docs_dir, corpus_dir, str(tmp_path / "ck1"))
+    run_corpus_ingest(spark, docs_dir, corpus_dir, ckpt)
     first = sorted(
         (r.content_hash, r.url)
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert len(first) == 5
-    # replay: fresh checkpoint, same corpus dir
-    run_corpus_ingest(spark, docs_dir, corpus_dir, str(tmp_path / "ck2"))
+    # crash window: foreachBatch wrote the partition but the commit
+    # marker never landed -> restart replays batch 0, same checkpoint
+    # (the .crc twin must go too or Hadoop's rename-into-place fails)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_corpus_ingest(spark, docs_dir, corpus_dir, ckpt)
     again = sorted(
         (r.content_hash, r.url)
         for r in spark.read.parquet(corpus_dir).collect()
@@ -164,3 +172,33 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert again == first  # no duplicate append, no loss
     # per-batch ownership is visible as a partition column
     assert "batch_id" in spark.read.parquet(corpus_dir).columns
+
+
+def test_populated_corpus_without_checkpoint_refuses(spark, tmp_path):
+    """ADVICE r4: batch ordinals restart at 0 when the checkpoint is
+    lost; with drifted file composition the new batch 0 would overwrite
+    the old batch_id=0 partition with different content. A populated
+    corpus_dir + absent checkpoint must refuse to start instead of
+    silently destroying accepted rows."""
+    import pytest
+
+    docs_dir = str(tmp_path / "feed")
+    corpus_dir = str(tmp_path / "corpus")
+
+    _write_jsonl(
+        os.path.join(docs_dir, "a.jsonl"),
+        _docs(3, "a", lambda i: f"doc number {i}"),
+    )
+    run_corpus_ingest(spark, docs_dir, corpus_dir, str(tmp_path / "ck1"))
+    assert spark.read.parquet(corpus_dir).count() == 3
+    # drifted feed + lost checkpoint: batch 0 would carry different rows
+    _write_jsonl(
+        os.path.join(docs_dir, "b.jsonl"),
+        _docs(2, "b", lambda i: f"other doc {i}"),
+    )
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_corpus_ingest(
+            spark, docs_dir, corpus_dir, str(tmp_path / "ck-lost")
+        )
+    # nothing was destroyed by the refused run
+    assert spark.read.parquet(corpus_dir).count() == 3

@@ -13,6 +13,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 import pytest
+from pyspark.sql import functions as F
 
 from ieps_crawler_spark.corpus import generate_corpus
 from ieps_crawler_spark.plans.crawl import Crawler
@@ -130,25 +131,67 @@ def test_localhost_sockets_crawl_byte_identical(spark, corpus, server, tmp_path)
 
 
 def test_status_and_error_mapping(server):
-    """Non-200 -> None, timeout -> None, oversize -> None, miss -> None,
-    200 -> exact bytes — the HeadlessBrowser-equivalent status gate."""
+    """(status, body) contract (VERDICT r4 #4): real statuses are
+    preserved — 500 stays 500, oversize -> 413, timeout/miss -> 404,
+    200 -> exact bytes — the HeadlessBrowser-equivalent status map
+    (ref:utils/HeadlessBrowser.scala:68-103)."""
     port = server.server_address[1]
     fn = UrllibFetchFn(
         timeout=0.5, max_bytes=1024, rewrite=LocalhostRewrite(port)
     )
     some_url = next(iter(_CorpusHandler.bodies))
-    assert fn(some_url) == _CorpusHandler.bodies[some_url]
-    assert fn("http://nosuch.gov.si/missing") is None      # 404
-    assert fn("err500://x") is None                        # 500
-    assert fn("big://x") is None                           # oversize
+    assert fn(some_url) == (200, _CorpusHandler.bodies[some_url])
+    assert fn("http://nosuch.gov.si/missing") == (404, None)
+    assert fn("err500://x") == (500, None)
+    assert fn("big://x") == (413, None)                    # oversize
     t0 = time.monotonic()
-    assert fn("slow://x") is None                          # timeout
+    assert fn("slow://x") == (404, None)                   # timeout
     assert time.monotonic() - t0 < 1.9                     # gave up early
 
 
-def test_connection_refused_maps_to_none():
+def test_connection_refused_maps_to_404():
     fn = UrllibFetchFn(timeout=0.5, rewrite=LocalhostRewrite(1))  # closed port
-    assert fn("http://whatever.gov.si/") is None
+    assert fn("http://whatever.gov.si/") == (404, None)
+
+
+def test_live_500_lands_as_invalid_with_real_status(
+    spark, corpus, server, tmp_path
+):
+    """VERDICT r4 #4 done-criterion: a 500-serving URL classifies as
+    INVALID carrying http_status 500 (not the corpus-miss 404)."""
+    port = server.server_address[1]
+
+    # local class => cloudpickle serializes it by VALUE (a test-module-
+    # level class pickles by reference, which executors can't import)
+    class _Err500Rewrite(LocalhostRewrite):
+        """Diverts one victim url to the server's err500:// handler —
+        a host whose page 500s live while present in the corpus."""
+
+        def __init__(self, port, victim):
+            super().__init__(port)
+            self.victim = victim
+
+        def __call__(self, url):
+            if url == self.victim:
+                url = "err500://victim"
+            return super().__call__(url)
+
+    base = _run(spark, corpus, str(tmp_path / "b500"))
+    victim = (
+        base.results()
+        .filter("page_type = 'HTML' and wave = 1")
+        .select("url")
+        .first()["url"]
+    )
+    live = _run(
+        spark, corpus, str(tmp_path / "l500"),
+        fetcher=http_fetcher(
+            UrllibFetchFn(timeout=5.0, rewrite=_Err500Rewrite(port, victim))
+        ),
+    )
+    row = live.results().filter(F.col("url") == victim).first()
+    assert row["page_type"] == "INVALID"
+    assert row["http_status"] == 500
 
 
 def test_honor_delays_spaces_same_host_fetches(spark, server):

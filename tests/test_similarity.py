@@ -186,7 +186,15 @@ def _np_kmeans(pdf, n_lists, n_iters, scale=1_000_000):
             pts = M[assign == k]
             if len(pts) == 0:
                 continue
-            s = np.rint(pts * scale).astype(np.int64).sum(axis=0)
+            # away-from-zero HALF_UP to match Spark F.round and DuckDB
+            # round(); np.rint is half-to-even and diverges on exact .5
+            # (ADVICE r4 latent-flake finding)
+            v = pts * scale
+            s = (
+                (np.floor(np.abs(v) + 0.5) * np.sign(v))
+                .astype(np.int64)
+                .sum(axis=0)
+            )
             new_c.append((s / float(scale)) / len(pts))
             new_j.append(cj[k])
         cents, cj = new_c, new_j

@@ -314,3 +314,22 @@ def test_precomputed_nodes_param_value_identical(spark):
     c = sorted(map(tuple, spam_mass(e, t, 3).collect()))
     d = sorted(map(tuple, spam_mass(e, t, 3, nodes=nodes).collect()))
     assert c == d
+
+
+def test_nodes_param_missing_trusted_id_raises(spark):
+    """ADVICE r4: a caller-supplied nodes= universe that misses a
+    trusted id (the likely misuse — endpoint-distinct without the
+    trust-set union) must raise, not silently misweight teleports."""
+    from ieps_crawler_spark.operators.graph import spam_mass
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    t = spark.createDataFrame([(1,), (42,)], "node_id long")  # 42 ∉ edges
+    endpoints_only = (
+        e.select(F.col("from_id").alias("node_id"))
+        .unionByName(e.select(F.col("to_id").alias("node_id")))
+        .distinct()
+    )
+    with pytest.raises(ValueError, match="missing trusted ids"):
+        trustrank(e, t, 2, nodes=endpoints_only)
+    with pytest.raises(ValueError, match="missing trusted ids"):
+        spam_mass(e, t, 2, nodes=endpoints_only)
