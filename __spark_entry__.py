@@ -916,6 +916,28 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_dedup_semantic_learned(spark, sf_dir):
+    """End-to-end learned-codebook SemDeDup (VERDICT r4 #5): the
+    2-iteration distributed k-means fit (q_similarity_kmeans_fit's
+    exact chain) plugged straight into semantic_dedup(centroids=...) —
+    fit, assignment, within-cluster pairs, components and the
+    keep-the-outlier rule all in ONE driver-recorded composition. The
+    oracle replays the whole thing: k-means chain -> codebook ->
+    SemDeDup body (_semdedup_oracle_sql(learned=True))."""
+    from ieps_crawler_spark.operators.dedup import semantic_dedup
+    from ieps_crawler_spark.operators.similarity import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, n_lists=8, n_iters=2)
+    return semantic_dedup(emb, cents, threshold=0.35).select(
+        "vec_id",
+        "list_id",
+        "group_id",
+        F.round("cos_centroid", 4).alias("cos_centroid"),
+        "is_kept",
+    )
+
+
 def q_dedup_lines(spark, sf_dir):
     """Cross-document line-level dedup (the CCNet/RefinedWeb boilerplate
     pass): documents are chunked into 3-word lines JVM-side (the
@@ -1882,6 +1904,28 @@ def q_graph_clustering(spark, sf_dir):
     return clustering_coefficients(edges)
 
 
+def q_graph_clustering_approx(spark, sf_dir):
+    """Web-scale clustering-coefficient tier (VERDICT r4 #6):
+    neighborhood-subsample estimator over the SAME 20k-node
+    web-density edge space as graph_clustering — each node keeps its
+    k=8 md5-smallest neighbors, the edges among that subset are counted
+    exactly, and coeff_est = closed*2000 div (k'(k'-1)) in pure integer
+    arithmetic. Per-node cost is capped at C(k,2) pairs regardless of
+    hub degree (~O(nodes*k^2) total vs the exact tier's Σ wedges);
+    oracle replays the md5 rank, pair join and closing-edge probe."""
+    from ieps_crawler_spark.operators.graph import (
+        clustering_coefficients_sampled,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(20_000)).alias("from_id"),
+        F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey"), F.lit(20_000))
+        .alias("to_id"),
+    ).dropDuplicates(["from_id", "to_id"])
+    return clustering_coefficients_sampled(edges, k=8)
+
+
 def q_graph_diameter(spark, sf_dir):
     """Report-§4 network diameter (double-sweep BFS lower bound over the
     undirected graph); oracle = two recursive-CTE BFS sweeps with the
@@ -2208,15 +2252,66 @@ def q_stats_length_quantiles(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordering contract (enforced by tools/window_rotation.py): the
-        # round driver records correctness for the FIRST 50 entries
-        # only. Slots 1-50 = every query with no r3 driver-green row —
-        # the two r3 hash-reds (now-cast oracles) first, then the new /
-        # r4-consolidated queries, then the 44 queries outside the r3
-        # window, then graph_trustrank (r3-green but operator+query
-        # changed this round). graph_spam_mass (same change, value-
-        # identity pytest-proven) sits at 51; everything after is
-        # r3-driver-green and unchanged.
+        # Ordering contract (enforced by tools/window_rotation.py,
+        # incl. the r5 changed-module rule 4): the round driver records
+        # correctness for the FIRST 50 entries only. The r5 window =
+        # the two new queries (graph_clustering_approx,
+        # dedup_semantic_learned), all 47 queries whose last driver row
+        # is r3 (stale-after-this-round set, incl. graph_spam_mass per
+        # VERDICT r4 #1), and graph_trustrank (r4-green but its
+        # operator module changed this round — rule 4). Everything
+        # after slot 50 is r4-driver-green with no module drift.
+        "graph_spam_mass": q_graph_spam_mass,
+        "pipeline_normalize_dedup": q_pipeline_normalize_dedup,
+        "graph_domain_collapse": q_graph_domain_collapse,
+        "text_normalize": q_text_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "text_unigram_stats": q_text_unigram_stats,
+        "text_distinctive_terms": q_text_distinctive_terms,
+        "pipeline_corpus_select": q_pipeline_corpus_select,
+        "pipeline_decontaminate": q_pipeline_decontaminate,
+        "pipeline_source_stats": q_pipeline_source_stats,
+        "pipeline_mix_sources": q_pipeline_mix_sources,
+        "pipeline_dsir_weights": q_pipeline_dsir_weights,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sketch_cms_users": q_sketch_cms_users,
+        "sketch_hdr_lengths": q_sketch_hdr_lengths,
+        "stats_length_quantiles": q_stats_length_quantiles,
+        "stats_skew_report": q_stats_skew_report,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_per_source": q_sample_per_source,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
+        "graph_components": q_graph_components,
+        "events_window_agg": q_events_window_agg,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "crawl_e2e": q_crawl_e2e,
+        "crawl_anchor_stats": q_crawl_anchor_stats,
+        "graph_degree_stats": q_graph_degree_stats,
+        "graph_clustering": q_graph_clustering,
+        "graph_clustering_approx": q_graph_clustering_approx,
+        "graph_diameter": q_graph_diameter,
+        "graph_opic": q_graph_opic,
+        "graph_hyperball": q_graph_hyperball,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "crawl_curation_pipeline": q_crawl_curation_pipeline,
+        "crawl_cdx_index": q_crawl_cdx_index,
+        "crawl_pld_extract": q_crawl_pld_extract,
+        "crawl_url_filter": q_crawl_url_filter,
+        "text_main_content": q_text_main_content,
+        "text_quality_classifier": q_text_quality_classifier,
+        "pipeline_quality_buckets": q_pipeline_quality_buckets,
+        "crawl_redirect_resolve": q_crawl_redirect_resolve,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "source_wet_roundtrip": q_source_wet_roundtrip,
+        "crawl_param_noise": q_crawl_param_noise,
+        "crawl_strip_params": q_crawl_strip_params,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_learned": q_dedup_semantic_learned,
+        "graph_trustrank": q_graph_trustrank,
+        # ---- r4-driver-green, module-stable past this point ----
         "events_sessionize": q_events_sessionize,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "similarity_kmeans_fit": q_similarity_kmeans_fit,
@@ -2266,54 +2361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_top_ngrams": q_text_top_ngrams,
-        "graph_trustrank": q_graph_trustrank,
-        "graph_spam_mass": q_graph_spam_mass,
-        "pipeline_normalize_dedup": q_pipeline_normalize_dedup,
-        "graph_domain_collapse": q_graph_domain_collapse,
-        "text_normalize": q_text_normalize,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "text_unigram_stats": q_text_unigram_stats,
-        "text_distinctive_terms": q_text_distinctive_terms,
-        "pipeline_corpus_select": q_pipeline_corpus_select,
-        "pipeline_decontaminate": q_pipeline_decontaminate,
-        "pipeline_source_stats": q_pipeline_source_stats,
-        "pipeline_mix_sources": q_pipeline_mix_sources,
-        "pipeline_dsir_weights": q_pipeline_dsir_weights,
-        "sketch_hll_users": q_sketch_hll_users,
-        "sketch_cms_users": q_sketch_cms_users,
-        "sketch_hdr_lengths": q_sketch_hdr_lengths,
-        "stats_length_quantiles": q_stats_length_quantiles,
-        "stats_skew_report": q_stats_skew_report,
-        "sample_hash_split": q_sample_hash_split,
-        "sample_deterministic": q_sample_deterministic,
-        "sample_per_source": q_sample_per_source,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_hits": q_graph_hits,
-        "graph_components": q_graph_components,
-        "events_window_agg": q_events_window_agg,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "crawl_e2e": q_crawl_e2e,
-        "crawl_anchor_stats": q_crawl_anchor_stats,
-        "graph_degree_stats": q_graph_degree_stats,
-        "graph_clustering": q_graph_clustering,
-        "graph_diameter": q_graph_diameter,
-        "graph_opic": q_graph_opic,
-        "graph_hyperball": q_graph_hyperball,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "crawl_curation_pipeline": q_crawl_curation_pipeline,
-        "crawl_cdx_index": q_crawl_cdx_index,
-        "crawl_pld_extract": q_crawl_pld_extract,
-        "crawl_url_filter": q_crawl_url_filter,
-        "text_main_content": q_text_main_content,
-        "text_quality_classifier": q_text_quality_classifier,
-        "pipeline_quality_buckets": q_pipeline_quality_buckets,
-        "crawl_redirect_resolve": q_crawl_redirect_resolve,
-        "crawl_snapshot_diff": q_crawl_snapshot_diff,
-        "source_wet_roundtrip": q_source_wet_roundtrip,
-        "crawl_param_noise": q_crawl_param_noise,
-        "crawl_strip_params": q_crawl_strip_params,
-        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -2928,15 +2975,17 @@ def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_probe: int = 4, k: int =
         """
 
 
-def _kmeans_oracle_sql(
+def _kmeans_cte_chain(
     n_lists: int = 8, n_iters: int = 2, dim: int = 64,
     scale: int = 1_000_000,
 ) -> str:
-    """DuckDB replay of similarity.kmeans_fit: md5-rank init, per-
-    iteration argmax assignment (same -dot/|c| score and lowest-j ties
-    as _ivf_oracle_sql) and the exact fixed-point M-step (component
-    sums on round(v*scale) BIGINTs, mean = (s/scale)/n — the same
-    order-independent arithmetic the Spark side uses)."""
+    """Shared CTE chain replaying similarity.kmeans_fit — md5-rank
+    init, per-iteration argmax assignment (same -dot/|c| score and
+    lowest-j ties as _ivf_oracle_sql) and the exact fixed-point M-step
+    (component sums on round(v*scale) BIGINTs, mean = (s/scale)/n).
+    Ends in g{n_iters} (exploded sums) and c{n_iters} (j, cv) — the
+    learned codebook — consumed by _kmeans_oracle_sql AND the learned
+    SemDeDup oracle."""
     it = """
             ax{k} AS (
               SELECT e.vec_id, e.v, c.j,
@@ -2962,14 +3011,24 @@ def _kmeans_oracle_sql(
         "," + it.format(k=k, p=k - 1, dim=dim, scale=scale)
         for k in range(1, n_iters + 1)
     )
-    return f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
             h AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS _h, v FROM e),
             c0 AS (
               SELECT CAST(row_number() OVER (ORDER BY _h) - 1 AS INTEGER)
                        AS j, v AS cv
-              FROM (SELECT * FROM h ORDER BY _h LIMIT {n_lists})){body}
+              FROM (SELECT * FROM h ORDER BY _h LIMIT {n_lists})){body}"""
+
+
+def _kmeans_oracle_sql(
+    n_lists: int = 8, n_iters: int = 2, dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of q_similarity_kmeans_fit (the chain's exploded
+    g{n_iters} sums)."""
+    chain = _kmeans_cte_chain(n_lists, n_iters, dim, scale)
+    return f"""
+            WITH {chain}
             SELECT list_id AS j, pos, (s / {scale}.0) / n AS val
             FROM g{n_iters}
         """
@@ -3017,21 +3076,34 @@ def _ivf_oracle_sql(n_probe: int = 3, k: int = 10) -> str:
         """
 
 
-def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
-    """DuckDB replay of q_dedup_semantic: the IVF fixed-codebook
-    assignment (argmax dot(v, c)/|c|, lowest-j ties — identical to
-    _ivf_oracle_sql), within-cluster cosine >= threshold pairs,
-    recursive min-label components (the dedup_cluster_canonical
-    pattern), keep = lowest cos_centroid per group (ties min id)."""
-    cmap_rows = ", ".join(
-        f"({cid}, {j})" for j, cid in enumerate(_IVF_CENTROID_IDS)
-    )
-    return f"""
-            WITH RECURSIVE e AS (
+def _semdedup_oracle_sql(
+    threshold: float = 0.35, learned: bool = False
+) -> str:
+    """DuckDB replay of q_dedup_semantic / q_dedup_semantic_learned:
+    codebook assignment (argmax dot(v, c)/|c|, lowest-j ties —
+    identical to _ivf_oracle_sql), within-cluster cosine >= threshold
+    pairs, recursive min-label components (the dedup_cluster_canonical
+    pattern), keep = lowest cos_centroid per group (ties min id).
+    ``learned=False``: codebook = the fixed _IVF_CENTROID_IDS rows;
+    ``learned=True``: codebook = the 2-iteration k-means chain
+    (_kmeans_cte_chain) — the end-to-end fit→dedup composition of
+    VERDICT r4 #5."""
+    if learned:
+        prefix = (
+            _kmeans_cte_chain()
+            + ",\n            cents AS (SELECT j, cv FROM c2)"
+        )
+    else:
+        cmap_rows = ", ".join(
+            f"({cid}, {j})" for j, cid in enumerate(_IVF_CENTROID_IDS)
+        )
+        prefix = f"""e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
             cmap(cid, j) AS (VALUES {cmap_rows}),
-            cents AS (SELECT j, v AS cv FROM e JOIN cmap ON vec_id = cid),
+            cents AS (SELECT j, v AS cv FROM e JOIN cmap ON vec_id = cid)"""
+    return f"""
+            WITH RECURSIVE {prefix},
             ax AS (
               SELECT e.vec_id, e.v, c.j,
                      -(list_dot_product(e.v, c.cv)
@@ -4114,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _ivf_oracle_sql(),
         "similarity_kmeans_fit": _kmeans_oracle_sql(),
         "dedup_semantic": _semdedup_oracle_sql(),
+        "dedup_semantic_learned": _semdedup_oracle_sql(learned=True),
         # resize stub: content = (sha256(payload+“WxH”) digest tiled to
         # width*height bytes); 16x16 → 256 bytes → 512 hex chars, digest
         # repeats ceil(256/32)+1 = 9 times before truncation
@@ -4817,6 +4890,48 @@ def oracle_sql() -> dict[str, str]:
                                 // (d.degree * (d.degree - 1))
                          ELSE 0 END)::BIGINT AS coeff_permille
             FROM deg d LEFT JOIN tn t USING (node_id)
+        """,
+        "graph_clustering_approx": r"""
+            WITH e0 AS (
+              SELECT DISTINCT l_orderkey % 20000 AS f,
+                              (l_partkey * 7 + l_suppkey) % 20000 AS t
+              FROM lineitem),
+            und AS (
+              SELECT DISTINCT least(f, t) AS a, greatest(f, t) AS b
+              FROM e0 WHERE f <> t),
+            adj AS (
+              SELECT a AS node_id, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+            deg AS (
+              SELECT node_id, count(*) AS degree FROM adj GROUP BY node_id),
+            ranked AS (
+              SELECT node_id, nbr,
+                     row_number() OVER (
+                       PARTITION BY node_id
+                       ORDER BY md5(node_id::VARCHAR || '|'
+                                    || nbr::VARCHAR), nbr) AS r
+              FROM adj),
+            samp AS (SELECT node_id, nbr, r FROM ranked WHERE r <= 8),
+            pairs AS (
+              SELECT s1.node_id,
+                     least(s1.nbr, s2.nbr) AS a,
+                     greatest(s1.nbr, s2.nbr) AS b
+              FROM samp s1 JOIN samp s2
+                ON s1.node_id = s2.node_id AND s1.r < s2.r),
+            closed AS (
+              SELECT p.node_id, count(*) AS closed_pairs
+              FROM pairs p JOIN und u ON u.a = p.a AND u.b = p.b
+              GROUP BY p.node_id)
+            SELECT d.node_id,
+                   d.degree::BIGINT AS degree,
+                   least(d.degree, 8)::BIGINT AS sampled_nbrs,
+                   coalesce(c.closed_pairs, 0)::BIGINT AS closed_pairs,
+                   (CASE WHEN d.degree >= 2
+                         THEN (coalesce(c.closed_pairs, 0) * 2000)
+                                // (least(d.degree, 8)
+                                    * (least(d.degree, 8) - 1))
+                         ELSE 0 END)::BIGINT AS coeff_est_permille
+            FROM deg d LEFT JOIN closed c USING (node_id)
         """,
         "graph_diameter": r"""
             WITH RECURSIVE e AS (

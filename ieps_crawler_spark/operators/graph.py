@@ -15,7 +15,7 @@ loop for GraphFrames' pregel; the per-iteration plan is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -403,6 +403,109 @@ def clustering_coefficients(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("coeff_permille"),
+        )
+    )
+
+
+def clustering_coefficients_sampled(
+    edges: DataFrame, k: int = 8, src: str = "from_id", dst: str = "to_id"
+) -> DataFrame:
+    """Web-scale tier of ``clustering_coefficients`` (VERDICT r4 #6):
+    neighborhood-subsample estimator with a FIXED per-node budget.
+
+    The exact tier is inherently Σ-wedges work — the right exact
+    algorithm, but at 100x the edge count it dominates any suite. This
+    tier caps every node at its ``k`` hash-smallest neighbors
+    (ordered by ``md5(node_id|nbr)`` — deterministic, partition-
+    independent, replayable verbatim in any engine with md5), counts
+    the edges among that subset EXACTLY, and scales: with k' =
+    min(degree, k) sampled neighbors and C(k',2) candidate pairs,
+
+        coeff_est_permille = closed_pairs * 2000 div (k' * (k'-1))
+
+    — exact integer arithmetic end-to-end, and identical to the exact
+    tier's coeff_permille whenever k >= degree (the estimator
+    degenerates to the full neighborhood; pytest pins this).
+
+    Returns (node_id, degree, sampled_nbrs, closed_pairs,
+    coeff_est_permille); degree is the FULL degree, 0-coefficient for
+    degree < 2.
+
+    Scale posture: the per-node rank window is O(d log d) on a hub
+    (one sort, never the hub's O(d^2) wedges), the pair self-join emits
+    at most C(k,2) rows per node — total O(n * k^2) probe pairs — and
+    the closing-edge check is one distributed semi-join against the
+    canonical edge set. Cost is ~O(nodes * k^2) by construction,
+    independent of the degree distribution's tail.
+    """
+    if k < 2:
+        raise ValueError("clustering_coefficients_sampled requires k >= 2")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("a").alias("node_id"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("node_id"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+    rank_key = F.md5(
+        F.concat(
+            F.col("node_id").cast("string"),
+            F.lit("|"),
+            F.col("nbr").cast("string"),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(rank_key.asc(), F.col("nbr").asc())
+    samp = (
+        adj.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.lit(k))
+    )
+    s1 = samp.select(
+        "node_id", F.col("nbr").alias("n1"), F.col("r").alias("r1")
+    )
+    s2 = samp.select(
+        "node_id", F.col("nbr").alias("n2"), F.col("r").alias("r2")
+    )
+    pairs = (
+        s1.join(s2, "node_id")
+        .filter(F.col("r1") < F.col("r2"))
+        .select(
+            "node_id",
+            F.least("n1", "n2").alias("a"),
+            F.greatest("n1", "n2").alias("b"),
+        )
+    )
+    closed = (
+        pairs.join(und, ["a", "b"], "left_semi")
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("closed_pairs"))
+    )
+    kp = F.least(F.col("degree"), F.lit(k))
+    return (
+        deg.join(closed, "node_id", "left")
+        .select(
+            "node_id",
+            F.col("degree").cast("long").alias("degree"),
+            kp.cast("long").alias("sampled_nbrs"),
+            F.coalesce("closed_pairs", F.lit(0))
+            .cast("long")
+            .alias("closed_pairs"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    f"(coalesce(closed_pairs, 0) * 2000) div "
+                    f"(least(degree, {int(k)}) * (least(degree, {int(k)}) - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_est_permille"),
         )
     )
 

@@ -70,6 +70,44 @@ def test_window_rotation_detects_buried_red(tmp_path):
     assert any("q2" in p and "RED" in p for p in problems)
 
 
+def test_window_rotation_flags_changed_module(monkeypatch):
+    """VERDICT r4 #1 (rule 4): a query whose operator module changed
+    since its last green driver round must re-enter the window — the
+    staleness rules alone were blind to exactly this (r4's
+    graph_spam_mass). Synthetic fixture: pretend one outside-window
+    query's module changed and assert the tool reds."""
+    import tools.window_rotation as wr
+
+    order = wr.query_order()
+    outside = order[wr.WINDOW:]
+    assert outside, "contract no longer exceeds the window?"
+    mods = wr.query_modules(wr._REPO)
+    victim = next(q for q in outside if mods.get(q))
+    target = sorted(mods[victim])[0]
+    monkeypatch.setattr(
+        wr, "changed_since_round", lambda repo, rf: frozenset({target})
+    )
+    problems = wr.check()
+    assert any(victim in p and "changed since" in p for p in problems)
+
+
+def test_query_module_map_covers_contract():
+    """The static import walk must find operator modules for the
+    overwhelming majority of queries (a query mapped to nothing is
+    invisible to rule 4). Spot-checks: crawl queries see plans/wave.py
+    through the plans one-hop; graph queries see operators/graph.py."""
+    import tools.window_rotation as wr
+
+    mods = wr.query_modules(wr._REPO)
+    unmapped = [q for q, m in mods.items() if not m]
+    # pure-DataFrame queries (no package import) legitimately map to
+    # nothing; they change only via their own q_* source, which rule 4
+    # checks separately
+    assert len(unmapped) < len(mods) // 2, unmapped
+    assert "ieps_crawler_spark/plans/wave.py" in mods["crawl_e2e"]
+    assert "ieps_crawler_spark/operators/graph.py" in mods["graph_pagerank"]
+
+
 def test_bench_compare_normalizes_by_canary():
     """VERDICT r3 #9: per-query drift is judged AFTER dividing out box
     speed (crawl canary), so a uniformly slow VM flags nothing while a

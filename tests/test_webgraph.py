@@ -316,6 +316,64 @@ def test_precomputed_nodes_param_value_identical(spark):
     assert c == d
 
 
+def test_sampled_clustering_degenerates_to_exact(spark):
+    """VERDICT r4 #6: with k >= max degree the neighborhood subsample
+    IS the full neighborhood, so closed_pairs == triangles and
+    coeff_est_permille == the exact tier's coeff_permille."""
+    from ieps_crawler_spark.operators.graph import (
+        clustering_coefficients,
+        clustering_coefficients_sampled,
+    )
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (4, 5), (5, 6), (6, 4),
+         (7, 1), (7, 2), (7, 3)],
+    )
+    exact = {
+        r.node_id: (r.degree, r.triangles, r.coeff_permille)
+        for r in clustering_coefficients(e).collect()
+    }
+    approx = {
+        r.node_id: (r.degree, r.closed_pairs, r.coeff_est_permille)
+        for r in clustering_coefficients_sampled(e, k=50).collect()
+    }
+    assert exact == approx
+
+
+def test_sampled_clustering_caps_per_node_budget(spark):
+    """A hub with degree >> k probes exactly C(k,2) pairs: sampled_nbrs
+    == k, closed_pairs <= k*(k-1)/2, and the result is deterministic
+    under repartitioning (hash-ranked sample, no partition order)."""
+    from ieps_crawler_spark.operators.graph import (
+        clustering_coefficients_sampled,
+    )
+
+    # star hub 0 with 40 leaves, leaves chained in a ring (many closed)
+    pairs = [(0, i) for i in range(1, 41)] + [
+        (i, i % 40 + 1) for i in range(1, 41)
+    ]
+    e = _edges(spark, pairs)
+    k = 5
+    rows = {
+        r.node_id: r
+        for r in clustering_coefficients_sampled(e, k=k).collect()
+    }
+    hub = rows[0]
+    assert hub.degree == 40 and hub.sampled_nbrs == k
+    assert 0 <= hub.closed_pairs <= k * (k - 1) // 2
+    again = {
+        r.node_id: tuple(r)
+        for r in clustering_coefficients_sampled(
+            e.repartition(13), k=k
+        ).collect()
+    }
+    assert again == {n: tuple(r) for n, r in rows.items()}
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        clustering_coefficients_sampled(e, k=1)
+
+
 def test_nodes_param_missing_trusted_id_raises(spark):
     """ADVICE r4: a caller-supplied nodes= universe that misses a
     trusted id (the likely misuse — endpoint-distinct without the

@@ -15,17 +15,30 @@ Rules checked against the last ``MAX_STALE`` CORRECTNESS_r*.json files:
     window (a fix is unverified until the driver re-records it);
  3. names present in queries() but absent from every recent round and
     outside the window are flagged as never-recorded (new queries must
-    enter through the window).
+    enter through the window);
+ 4. (VERDICT r4 #1) a query whose IMPLEMENTATION changed since its last
+    green driver round must sit inside the window: each query is mapped
+    to its operator modules by a static import walk of its q_* function
+    (function-local ``from ieps_crawler_spark...`` imports, plus one
+    hop through plans/ orchestration modules), and git is asked
+    whether any of those files — or the q_* function source itself —
+    differs from the commit that recorded the query's last green
+    CORRECTNESS row. Staleness checking alone is blind to this case
+    (r4's graph_spam_mass shipped a changed operator one slot past the
+    window with no fresh driver row).
 
 Usage: python tools/window_rotation.py [--window 50] [--stale 2]
 """
 
 from __future__ import annotations
 
+import ast
+import functools
 import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 WINDOW = 50
@@ -65,6 +78,185 @@ def _green(rec: dict) -> bool:
     )
 
 
+def _resolve_module_file(repo: str, dotted: str) -> str | None:
+    """ieps_crawler_spark.x.y -> repo-relative file path, or None."""
+    rel = dotted.replace(".", "/")
+    for cand in (f"{rel}.py", f"{rel}/__init__.py"):
+        if os.path.isfile(os.path.join(repo, cand)):
+            return cand
+    return None
+
+
+def _module_imports(repo: str, relpath: str, pkg: str = "ieps_crawler_spark") -> set[str]:
+    """Intra-package files imported (absolutely or relatively) anywhere
+    in the given module file."""
+    try:
+        tree = ast.parse(open(os.path.join(repo, relpath)).read())
+    except (OSError, SyntaxError):
+        return set()
+    cur_pkg = os.path.dirname(relpath).replace("/", ".")
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        targets: list[str] = []
+        if isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: from ..operators.seen import x
+                base = cur_pkg.split(".")
+                base = base[: len(base) - (node.level - 1)]
+                mod = ".".join(base + ([node.module] if node.module else []))
+                targets.append(mod)
+                # `from . import seen` style: names are submodules
+                for a in node.names:
+                    targets.append(f"{mod}.{a.name}")
+            elif node.module and node.module.startswith(pkg):
+                targets.append(node.module)
+                for a in node.names:
+                    targets.append(f"{node.module}.{a.name}")
+        elif isinstance(node, ast.Import):
+            targets.extend(
+                a.name for a in node.names if a.name.startswith(pkg)
+            )
+        for t in targets:
+            f = _resolve_module_file(repo, t)
+            if f:
+                out.add(f)
+    return out
+
+
+def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
+    """query name -> repo-relative package files its q_* function
+    touches: the function-local imports, plus ONE transitive hop
+    through any ``plans/`` module (plans are thin orchestration — a
+    crawl query importing plans.crawl really executes plans/wave.py).
+    Deliberately NOT a full package closure: file-granular transitivity
+    over-triggers (operators/dedup.py imports operators/graph.py for
+    its cluster step, which would pull every dedup query into any
+    graph-side change and blow past the driver's fixed 50-slot window);
+    the direct map catches the motivating failure class — an operator
+    module the query calls changed without a fresh driver row."""
+    src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    name_to_fn = dict(
+        re.findall(r'"([a-z0-9_]+)":\s*(q_[a-z0-9_]+),', m.group(1))
+    )
+    tree = ast.parse(src)
+    top_fns = {
+        n.name: n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    fn_imports: dict[str, set[str]] = {}
+    fn_calls: dict[str, set[str]] = {}
+    for name, node in top_fns.items():
+        direct: set[str] = set()
+        calls: set[str] = set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.ImportFrom) and (sub.module or "").startswith(
+                "ieps_crawler_spark"
+            ):
+                f = _resolve_module_file(repo, sub.module)
+                if f:
+                    direct.add(f)
+            elif isinstance(sub, ast.Import):
+                for a in sub.names:
+                    if a.name.startswith("ieps_crawler_spark"):
+                        f = _resolve_module_file(repo, a.name)
+                        if f:
+                            direct.add(f)
+            elif isinstance(sub, ast.Name) and sub.id in top_fns:
+                # entry-local helper (q_crawl_e2e -> _crawl_results):
+                # its imports belong to every query routed through it
+                calls.add(sub.id)
+        fn_imports[name] = direct
+        fn_calls[name] = calls
+
+    def _with_helpers(fn: str) -> set[str]:
+        seen_fns: set[str] = set()
+        stack = [fn]
+        direct: set[str] = set()
+        while stack:
+            f = stack.pop()
+            if f in seen_fns:
+                continue
+            seen_fns.add(f)
+            direct |= fn_imports.get(f, set())
+            stack.extend(fn_calls.get(f, set()) - seen_fns)
+        expanded = set(direct)
+        for p in direct:
+            if p.startswith("ieps_crawler_spark/plans/"):
+                expanded |= _module_imports(repo, p)
+        return expanded
+
+    return {q: _with_helpers(fn) for q, fn in name_to_fn.items()}
+
+
+def _git(repo: str, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, *args], capture_output=True, text=True
+    ).stdout
+
+
+@functools.lru_cache(maxsize=None)
+def _round_anchor(repo: str, round_file: str) -> str | None:
+    """Commit that last touched the given CORRECTNESS file."""
+    out = _git(repo, "log", "-n1", "--format=%H", "--", round_file).strip()
+    return out or None
+
+
+@functools.lru_cache(maxsize=None)
+def changed_since_round(repo: str, round_file: str) -> frozenset:
+    """Package files (plus __spark_entry__.py) whose content differs
+    between the commit that recorded ``round_file`` and the CURRENT
+    WORKING TREE (committed or not — uncommitted operator edits must
+    re-enter the window too)."""
+    anchor = _round_anchor(repo, round_file)
+    if anchor is None:  # not a git checkout: rule 4 degrades silently
+        return frozenset()
+    out = _git(
+        repo, "diff", "--name-only", anchor, "--",
+        "ieps_crawler_spark", "__spark_entry__.py",
+    )
+    return frozenset(line for line in out.splitlines() if line)
+
+
+@functools.lru_cache(maxsize=None)
+def _entry_fn_sources(repo: str, ref: str | None) -> dict:
+    """Map of top-level function name -> source text of
+    __spark_entry__.py at ``ref`` (None = working tree)."""
+    if ref is None:
+        src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    else:
+        src = _git(repo, "show", f"{ref}:__spark_entry__.py")
+        if not src:
+            return {}
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    return {
+        n.name: ast.get_source_segment(src, n)
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+
+
+def query_fn_changed(repo: str, query: str, round_file: str) -> bool:
+    """True when the query's q_* function source in __spark_entry__.py
+    differs from the version committed with ``round_file``."""
+    anchor = _round_anchor(repo, round_file)
+    if anchor is None:
+        return False
+    src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    fn = dict(
+        re.findall(r'"([a-z0-9_]+)":\s*(q_[a-z0-9_]+),', m.group(1))
+    ).get(query)
+    if fn is None:
+        return False
+    now = _entry_fn_sources(repo, None).get(fn)
+    then = _entry_fn_sources(repo, anchor).get(fn)
+    return then is not None and now != then
+
+
 def check(
     repo: str = _REPO, window: int = WINDOW, stale: int = MAX_STALE
 ) -> list[str]:
@@ -96,6 +288,35 @@ def check(
             problems.append(
                 f"{q}: RED last round but outside the window — the fix "
                 f"cannot be driver-recorded"
+            )
+    # rule 4: implementation drift since the last green driver row
+    try:
+        q_mods = query_modules(repo)
+    except Exception as e:  # parse failure must surface, not pass green
+        return problems + [f"rule-4 module walk failed: {e}"]
+    for q in order:
+        if q in in_window:
+            continue
+        last_green = next(
+            (name for name, recs in rounds if q in recs and _green(recs[q])),
+            None,
+        )
+        if last_green is None:
+            continue  # already flagged by rules 1-3
+        drifted = sorted(
+            q_mods.get(q, set()) & changed_since_round(repo, last_green)
+        )
+        if drifted:
+            problems.append(
+                f"{q}: module(s) {', '.join(drifted)} changed since its "
+                f"last green driver row ({last_green}) but the query is "
+                f"outside the {window}-slot window"
+            )
+        elif query_fn_changed(repo, q, last_green):
+            problems.append(
+                f"{q}: its q_* function in __spark_entry__.py changed "
+                f"since its last green driver row ({last_green}) but the "
+                f"query is outside the {window}-slot window"
             )
     return problems
 
