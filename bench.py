@@ -38,6 +38,25 @@ def _time_noop(spark, fn, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+# Queries at or above this first-run cost are re-timed to a median of
+# BENCH_MEDIAN_REPS runs (VERDICT r4 #3: iterative graph queries swing
+# +-40% run-to-run at fixed code — single samples made the 2.5x
+# regression gate fire on JVM weather). Cheap queries stay single-run:
+# their absolute noise is too small to trip the canary-normalized gate.
+MEDIAN_THRESHOLD_S = 3.0
+
+
+def _time_query(spark, fn, sf_dir: str, reps: int,
+                raw: dict | None = None, name: str = "") -> float:
+    t1 = _time_noop(spark, fn, sf_dir)
+    if reps < 2 or t1 < MEDIAN_THRESHOLD_S:
+        return t1
+    times = [t1] + [_time_noop(spark, fn, sf_dir) for _ in range(reps - 1)]
+    if raw is not None:
+        raw[name] = times
+    return sorted(times)[len(times) // 2]
+
+
 _CORPUS_MEMO: dict = {}
 
 # The driver stores only the last 2000 chars of bench stdout (measured
@@ -298,12 +317,18 @@ def main() -> None:
         extras["crawl_capped_bloom"] = crawl_cb
 
     skip = {"crawl_e2e"}  # superseded by the scaled headline crawl
+    median_reps = int(os.environ.get("BENCH_MEDIAN_REPS", "3"))
+    query_reps: dict[str, list] = {}
     for name, fn in entry_mod.queries().items():
         if name in skip:
             continue
         if only and name not in only:
             continue
-        results[name] = _time_noop(spark, fn, sf_dir)
+        results[name] = _time_query(
+            spark, fn, sf_dir, median_reps, raw=query_reps, name=name
+        )
+    if query_reps:
+        extras["query_reps"] = query_reps
 
     # Two-tier output (r2 post-mortem: the driver tails the LAST line and
     # one giant line with per-wave arrays outran its capture -> parsed:null).
