@@ -86,6 +86,11 @@ def _normalize_fetch_result(result):
     behavior)."""
     if isinstance(result, tuple) and len(result) == 2:
         status, body = result
+        if status is not None and int(status) != 200:
+            # non-200 never carries a body downstream — the reference
+            # parses only 2xx pages (DomainWorkerActor.scala:180) and
+            # the wave dispatch treats html-present as status 200
+            body = None
         return (None if status is None else int(status)), body
     return (200 if result is not None else None), result
 

@@ -71,6 +71,21 @@ def test_corpus_fetcher_closure_matches_inline_default(spark, corpus, tmp_path):
     assert _snapshot(base) == _snapshot(viacf)
 
 
+def test_normalize_fetch_result_contract():
+    """Widened (status, body) contract + legacy adapter: bodies only
+    ever flow downstream with status 200 (reference parses 2xx only,
+    DomainWorkerActor.scala:180); legacy bytes map to 200/None."""
+    from ieps_crawler_spark.sources.fetcher import _normalize_fetch_result as n
+
+    assert n(b"page") == (200, b"page")          # legacy hit
+    assert n(None) == (None, None)               # legacy miss
+    assert n((200, b"page")) == (200, b"page")
+    assert n((500, None)) == (500, None)
+    assert n((500, b"error body")) == (500, None)  # body stripped
+    assert n((404, None)) == (404, None)
+    assert n(b"") == (200, b"")                  # empty body is a hit
+
+
 def test_default_fetch_fn_is_a_documented_stub(spark):
     from ieps_crawler_spark.sources.fetcher import _default_fetch_fn
 
