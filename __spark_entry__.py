@@ -928,7 +928,14 @@ def q_dedup_semantic_learned(spark, sf_dir):
     from ieps_crawler_spark.operators.similarity import kmeans_fit
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, n_lists=8, n_iters=2)
+    # materialize the fitted codebook (n_lists tiny rows) before the
+    # dedup consumes it: semantic_dedup references its assignment frame
+    # three times and assign_to_codebook references the codebook twice,
+    # so an unmaterialized fit chain would re-execute both Lloyd
+    # iterations at every reference (measured 23.8s -> the checkpoint
+    # collapses it to one fit). Same pattern as the iterative graph
+    # operators; values identical, oracle untouched.
+    cents = kmeans_fit(emb, n_lists=8, n_iters=2).localCheckpoint(eager=True)
     return semantic_dedup(emb, cents, threshold=0.35).select(
         "vec_id",
         "list_id",

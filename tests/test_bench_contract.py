@@ -71,11 +71,11 @@ def test_window_rotation_detects_buried_red(tmp_path):
 
 
 def test_window_rotation_flags_changed_module(monkeypatch):
-    """VERDICT r4 #1 (rule 4): a query whose operator module changed
-    since its last green driver round must re-enter the window — the
-    staleness rules alone were blind to exactly this (r4's
+    """VERDICT r4 #1 (rule 4): a query whose operator implementation
+    changed since its last green driver round must re-enter the window
+    — the staleness rules alone were blind to exactly this (r4's
     graph_spam_mass). Synthetic fixture: pretend one outside-window
-    query's module changed and assert the tool reds."""
+    query's module AND its imported function changed; the tool reds."""
     import tools.window_rotation as wr
 
     order = wr.query_order()
@@ -87,8 +87,37 @@ def test_window_rotation_flags_changed_module(monkeypatch):
     monkeypatch.setattr(
         wr, "changed_since_round", lambda repo, rf: frozenset({target})
     )
+    monkeypatch.setattr(
+        wr, "functions_changed",
+        lambda repo, relpath, names, anchor: sorted(names)[:1],
+    )
     problems = wr.check()
-    assert any(victim in p and "changed since" in p for p in problems)
+    assert any(victim in p and "drift" in p for p in problems)
+
+
+def test_rule4_function_granularity():
+    """Function-level drift precision (r5): the r5 session changed
+    trustrank/spam_mass (nodes= guards) and added PNG functions to
+    operators/multimodal.py — rule 4 must flag the former and NOT flag
+    queries whose imported multimodal functions are untouched (file
+    granularity would overflow the driver's fixed 50-slot window on
+    any additive edit to a busy module)."""
+    import tools.window_rotation as wr
+
+    anchor = wr._round_anchor(wr._REPO, "CORRECTNESS_r04.json")
+    if anchor is None:
+        import pytest
+        pytest.skip("no git history for CORRECTNESS_r04.json")
+    g = "ieps_crawler_spark/operators/graph.py"
+    assert wr.functions_changed(wr._REPO, g, ["trustrank"], anchor)
+    assert wr.functions_changed(wr._REPO, g, ["spam_mass"], anchor)
+    assert wr.functions_changed(wr._REPO, g, ["pagerank"], anchor) == []
+    m = "ieps_crawler_spark/operators/multimodal.py"
+    assert wr.functions_changed(
+        wr._REPO, m,
+        ["extract_media_meta", "resize_media", "frame_sample_plan"],
+        anchor,
+    ) == []
 
 
 def test_query_module_map_covers_contract():

@@ -25,7 +25,17 @@ Rules checked against the last ``MAX_STALE`` CORRECTNESS_r*.json files:
     differs from the commit that recorded the query's last green
     CORRECTNESS row. Staleness checking alone is blind to this case
     (r4's graph_spam_mass shipped a changed operator one slot past the
-    window with no fresh driver row).
+    window with no fresh driver row). Drift is judged at FUNCTION
+    granularity for operator modules: a changed file only flags the
+    queries whose imported names (closed over the module's own
+    internal references — helpers, defaults, module constants) have
+    changed source; purely additive edits to a module flag nothing.
+    File granularity would exceed the driver's fixed 50-slot window
+    the moment one busy module gains an unrelated function (the r5 PNG
+    codec landing in operators/multimodal.py must not evict two
+    r3-stale queries from the window). plans/ modules keep file
+    granularity — they are orchestration, any change there is the
+    crawl queries' implementation.
 
 Usage: python tools/window_rotation.py [--window 50] [--stale 2]
 """
@@ -122,17 +132,20 @@ def _module_imports(repo: str, relpath: str, pkg: str = "ieps_crawler_spark") ->
     return out
 
 
-def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
-    """query name -> repo-relative package files its q_* function
-    touches: the function-local imports, plus ONE transitive hop
-    through any ``plans/`` module (plans are thin orchestration — a
-    crawl query importing plans.crawl really executes plans/wave.py).
-    Deliberately NOT a full package closure: file-granular transitivity
+def query_imports(repo: str = _REPO) -> dict[str, dict]:
+    """query name -> {repo-relative package file: frozenset of imported
+    names, or None for file-granular}. The function-local imports of
+    the q_* function (following entry-local helpers like
+    q_crawl_e2e -> _crawl_results), plus ONE transitive hop through any
+    ``plans/`` module. plans/ files (and their hop targets) map to
+    None: plans are thin orchestration, any change there IS the crawl
+    queries' implementation. Operator modules map to the exact imported
+    names so drift can be judged at function granularity. Deliberately
+    NOT a full package closure: file-granular transitivity
     over-triggers (operators/dedup.py imports operators/graph.py for
     its cluster step, which would pull every dedup query into any
-    graph-side change and blow past the driver's fixed 50-slot window);
-    the direct map catches the motivating failure class — an operator
-    module the query calls changed without a fresh driver row."""
+    graph-side change and blow past the driver's fixed 50-slot
+    window)."""
     src = open(os.path.join(repo, "__spark_entry__.py")).read()
     m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
     name_to_fn = dict(
@@ -144,10 +157,10 @@ def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
         for n in tree.body
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
     }
-    fn_imports: dict[str, set[str]] = {}
+    fn_imports: dict[str, dict] = {}
     fn_calls: dict[str, set[str]] = {}
     for name, node in top_fns.items():
-        direct: set[str] = set()
+        direct: dict = {}
         calls: set[str] = set()
         for sub in ast.walk(node):
             if isinstance(sub, ast.ImportFrom) and (sub.module or "").startswith(
@@ -155,13 +168,14 @@ def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
             ):
                 f = _resolve_module_file(repo, sub.module)
                 if f:
-                    direct.add(f)
+                    got = frozenset(a.name for a in sub.names)
+                    direct[f] = (direct.get(f) or frozenset()) | got
             elif isinstance(sub, ast.Import):
                 for a in sub.names:
                     if a.name.startswith("ieps_crawler_spark"):
                         f = _resolve_module_file(repo, a.name)
                         if f:
-                            direct.add(f)
+                            direct[f] = None  # whole-module import
             elif isinstance(sub, ast.Name) and sub.id in top_fns:
                 # entry-local helper (q_crawl_e2e -> _crawl_results):
                 # its imports belong to every query routed through it
@@ -169,24 +183,93 @@ def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
         fn_imports[name] = direct
         fn_calls[name] = calls
 
-    def _with_helpers(fn: str) -> set[str]:
+    def _with_helpers(fn: str) -> dict:
         seen_fns: set[str] = set()
         stack = [fn]
-        direct: set[str] = set()
+        merged: dict = {}
         while stack:
             f = stack.pop()
             if f in seen_fns:
                 continue
             seen_fns.add(f)
-            direct |= fn_imports.get(f, set())
+            for path, names in fn_imports.get(f, {}).items():
+                if names is None or merged.get(path, frozenset()) is None:
+                    merged[path] = None
+                else:
+                    merged[path] = merged.get(path, frozenset()) | names
             stack.extend(fn_calls.get(f, set()) - seen_fns)
-        expanded = set(direct)
-        for p in direct:
+        for p in list(merged):
             if p.startswith("ieps_crawler_spark/plans/"):
-                expanded |= _module_imports(repo, p)
-        return expanded
+                merged[p] = None  # orchestration: file-granular
+                for hop in _module_imports(repo, p):
+                    merged.setdefault(hop, None)
+        return merged
 
     return {q: _with_helpers(fn) for q, fn in name_to_fn.items()}
+
+
+def query_modules(repo: str = _REPO) -> dict[str, set[str]]:
+    """query name -> set of package files (coarse view of
+    query_imports, kept for coverage tests and reporting)."""
+    return {q: set(files) for q, files in query_imports(repo).items()}
+
+
+def _module_defs(src: str):
+    """Module source -> (name -> source segment, name -> referenced
+    module-level names) for every top-level def/class/assignment."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}, {}
+    defs: dict = {}
+    nodes: dict = {}
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        seg = ast.get_source_segment(src, node)
+        for n in names:
+            defs[n] = seg
+            nodes[n] = node
+    refs = {
+        n: {x.id for x in ast.walk(node) if isinstance(x, ast.Name)}
+        & defs.keys()
+        for n, node in nodes.items()
+    }
+    return defs, refs
+
+
+def functions_changed(
+    repo: str, relpath: str, names, anchor: str | None
+) -> list[str]:
+    """Which of ``names`` (closed over the module's CURRENT internal
+    references — helpers, default-arg callables, module constants)
+    have different source at ``anchor`` vs the working tree. A module
+    file absent at the anchor counts as all-changed. Function-level
+    drift: additive edits elsewhere in the file flag nothing."""
+    if anchor is None:
+        return []
+    now_src = open(os.path.join(repo, relpath)).read()
+    then_src = _git(repo, "show", f"{anchor}:{relpath}")
+    if not then_src:
+        return sorted(names)
+    now_defs, now_refs = _module_defs(now_src)
+    then_defs, _ = _module_defs(then_src)
+    closure: set[str] = set()
+    stack = [n for n in names]
+    while stack:
+        n = stack.pop()
+        if n in closure or n not in now_defs:
+            continue
+        closure.add(n)
+        stack.extend(now_refs.get(n, set()) - closure)
+    return sorted(
+        n for n in closure if then_defs.get(n) != now_defs.get(n)
+    )
 
 
 def _git(repo: str, *args: str) -> str:
@@ -291,7 +374,7 @@ def check(
             )
     # rule 4: implementation drift since the last green driver row
     try:
-        q_mods = query_modules(repo)
+        q_imp = query_imports(repo)
     except Exception as e:  # parse failure must surface, not pass green
         return problems + [f"rule-4 module walk failed: {e}"]
     for q in order:
@@ -303,14 +386,23 @@ def check(
         )
         if last_green is None:
             continue  # already flagged by rules 1-3
-        drifted = sorted(
-            q_mods.get(q, set()) & changed_since_round(repo, last_green)
-        )
+        touched = changed_since_round(repo, last_green)
+        anchor = _round_anchor(repo, last_green)
+        drifted = []
+        for f, names in sorted(q_imp.get(q, {}).items()):
+            if f not in touched:
+                continue
+            if names is None:  # plans/whole-module: file granular
+                drifted.append(f)
+            else:
+                ch = functions_changed(repo, f, names, anchor)
+                if ch:
+                    drifted.append(f"{f} ({', '.join(ch)})")
         if drifted:
             problems.append(
-                f"{q}: module(s) {', '.join(drifted)} changed since its "
-                f"last green driver row ({last_green}) but the query is "
-                f"outside the {window}-slot window"
+                f"{q}: implementation drift in {'; '.join(drifted)} "
+                f"since its last green driver row ({last_green}) but the "
+                f"query is outside the {window}-slot window"
             )
         elif query_fn_changed(repo, q, last_green):
             problems.append(
