@@ -235,7 +235,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:  # derived dirs like sf1x / custom names
+        sf = 0.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ieps_crawler_spark.session import get_spark

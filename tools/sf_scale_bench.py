@@ -114,7 +114,7 @@ def run_suite(sf_dir: str, queries: list[str], cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/sf1x")
+    ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
