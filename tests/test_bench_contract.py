@@ -120,6 +120,49 @@ def test_rule4_function_granularity():
     ) == []
 
 
+def test_rule5_flags_oracle_drift(monkeypatch):
+    """r5 rule 5: a query whose EMITTED oracle SQL differs from what
+    its recording commit emitted must re-enter the window (a stale
+    green row says nothing about a rewritten oracle). Synthetic: fake
+    a one-query emission diff for an outside-window query."""
+    import tools.window_rotation as wr
+
+    victim = wr.query_order()[wr.WINDOW:][0]
+
+    def fake_emit(repo, ref):
+        base = {victim: "SELECT 1"}
+        if ref is not None:
+            base = {victim: "SELECT 2"}
+        return base
+
+    monkeypatch.setattr(wr, "_emitted_oracles", fake_emit)
+    problems = wr.check()
+    assert any(victim in p and "oracle SQL changed" in p for p in problems)
+
+
+def test_rule5_emission_identical_refactor_is_green():
+    """The r5 shared-builder refactor (_kmeans_cte_chain) must emit
+    byte-identical SQL for every carried query — the live repo's rule 5
+    passes (covered by test_window_rotation_discipline) and the two
+    emissions agree except for the two new r5 queries."""
+    import tools.window_rotation as wr
+
+    anchor = wr._round_anchor(wr._REPO, "CORRECTNESS_r04.json")
+    if anchor is None:
+        import pytest
+        pytest.skip("no git history for CORRECTNESS_r04.json")
+    now = wr._emitted_oracles(wr._REPO, None)
+    then = wr._emitted_oracles(wr._REPO, anchor)
+    if not now or not then:
+        import pytest
+        pytest.skip("oracle emission unavailable")
+    changed = [q for q in then if q in now and then[q] != now[q]]
+    assert changed == []
+    assert set(now) - set(then) == {
+        "dedup_semantic_learned", "graph_clustering_approx",
+    }
+
+
 def test_query_module_map_covers_contract():
     """The static import walk must find operator modules for the
     overwhelming majority of queries (a query mapped to nothing is

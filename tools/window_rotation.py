@@ -36,6 +36,12 @@ Rules checked against the last ``MAX_STALE`` CORRECTNESS_r*.json files:
     r3-stale queries from the window). plans/ modules keep file
     granularity — they are orchestration, any change there is the
     crawl queries' implementation.
+ 5. (r5) ORACLE drift: a query whose emitted oracle_sql() TEXT differs
+    from what the recording commit emitted must also re-enter the
+    window — a stale green row says nothing about a rewritten oracle.
+    Compared at EMISSION level (both revisions' oracle_sql() run in
+    subprocesses), so refactoring a shared SQL builder flags nothing
+    as long as the produced SQL is byte-identical.
 
 Usage: python tools/window_rotation.py [--window 50] [--stale 2]
 """
@@ -340,6 +346,62 @@ def query_fn_changed(repo: str, query: str, round_file: str) -> bool:
     return then is not None and now != then
 
 
+@functools.lru_cache(maxsize=None)
+def _emitted_oracles(repo: str, ref: str | None):
+    """oracle_sql() emission of __spark_entry__.py at ``ref`` (None =
+    working tree), produced in a subprocess (the module imports pyspark
+    but emission starts no session). None when the emission fails —
+    rule 5 then degrades silently for that revision."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    code = (
+        "import json, sys; import __spark_entry__ as e; "
+        "print(json.dumps(e.oracle_sql()))"
+    )
+    tmpdir = None
+    try:
+        if ref is None:
+            cwd = repo
+        else:
+            src = _git(repo, "show", f"{ref}:__spark_entry__.py")
+            if not src:
+                return None
+            tmpdir = tempfile.mkdtemp(prefix="wr_oracle_")
+            with open(os.path.join(tmpdir, "__spark_entry__.py"), "w") as f:
+                f.write(src)
+            cwd = tmpdir
+        r = subprocess.run(
+            [sys.executable, "-c", code], cwd=cwd, capture_output=True,
+            text=True, timeout=300,
+            env={**os.environ, "PYTHONPATH": repo},
+        )
+        if r.returncode != 0:
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+    finally:
+        if tmpdir:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def oracle_changed(repo: str, query: str, round_file: str) -> bool:
+    """True when the query's emitted oracle SQL differs between the
+    recording commit and the working tree."""
+    anchor = _round_anchor(repo, round_file)
+    if anchor is None:
+        return False
+    now = _emitted_oracles(repo, None)
+    then = _emitted_oracles(repo, anchor)
+    if not now or not then:
+        return False
+    return (
+        query in then and query in now and then[query] != now[query]
+    )
+
+
 def check(
     repo: str = _REPO, window: int = WINDOW, stale: int = MAX_STALE
 ) -> list[str]:
@@ -409,6 +471,12 @@ def check(
                 f"{q}: its q_* function in __spark_entry__.py changed "
                 f"since its last green driver row ({last_green}) but the "
                 f"query is outside the {window}-slot window"
+            )
+        elif oracle_changed(repo, q, last_green):
+            problems.append(
+                f"{q}: its emitted oracle SQL changed since its last "
+                f"green driver row ({last_green}) but the query is "
+                f"outside the {window}-slot window"
             )
     return problems
 
